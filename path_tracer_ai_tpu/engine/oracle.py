@@ -1,0 +1,192 @@
+"""Oracle engine: the reference CPU renderer's semantics in pure JAX.
+
+This is the `--mode cpu` equivalent and the correctness ground truth for all
+fast paths (BASELINE.md: "RMSE vs CPU reference"). It transcribes
+Renderer::render + tracePath (renderer.hpp:40-301) into batch form:
+
+- OpenMP scanline fan-out (renderer.hpp:52-53)  -> pixel-chunk batches
+- per-pixel spp loop (renderer.hpp:62-73)        -> lax.fori_loop over samples
+- recursive tracePath                            -> throughput iteration over
+  bounces (see engine.shading for the term-by-term derivation)
+- brute-force-exact Scene::intersect             -> engine.intersect scans
+- invalid-sample filtering + magenta debug pixels (renderer.hpp:75-79)
+  reproduced via per-sample finiteness masks
+
+Architecture notes (TPU): every chunk is one fused XLA program; the bounce
+loop is a lax.fori_loop with masked lanes (no per-lane control flow); RNG is
+counter-based per (pixel, sample, bounce, purpose) — reproducible and
+sharding-invariant, unlike the reference's std::random_device seeding.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from path_tracer_ai_tpu.config import RenderSettings
+from path_tracer_ai_tpu.core import sampling
+from path_tracer_ai_tpu.core.types import RAY_TMIN, SceneData
+from path_tracer_ai_tpu.engine import intersect
+from path_tracer_ai_tpu.engine.shading import (
+    direct_lighting,
+    gather_materials,
+    sample_bsdf,
+)
+from path_tracer_ai_tpu.scene.camera import Camera, get_rays
+from path_tracer_ai_tpu.utils.logging import get_logger, render_banner
+
+log = get_logger(__name__)
+
+MAGENTA = np.asarray([1.0, 0.0, 1.0], np.float32)  # invalid-pixel sentinel
+
+
+def _fold_all(base_key, *vals):
+    k = base_key
+    for v in vals:
+        k = jax.random.fold_in(k, v)
+    return k
+
+
+def trace_paths(
+    scene: SceneData,
+    origins: jnp.ndarray,     # [N,3]
+    directions: jnp.ndarray,  # [N,3]
+    keys,                     # [N] key array (one stream per lane)
+    max_bounces: int,
+    tri_chunk: int = 512,
+):
+    """Iterative tracePath over a lane batch. Returns (radiance [N,3], valid [N])."""
+    tris = scene.triangles
+    n = origins.shape[0]
+
+    def occlude(o, d, t_max):
+        return intersect.any_hit(tris, o, d, RAY_TMIN, t_max, chunk_size=tri_chunk)
+
+    def body(depth, state):
+        o, d, beta, radiance, alive = state
+
+        ch = intersect.closest_hit(tris, o, d, RAY_TMIN, jnp.inf, chunk_size=tri_chunk)
+        attrs = intersect.hit_attributes(tris, o, d, ch.t, ch.tri)
+        active = alive & ch.hit
+        mats = gather_materials(scene.materials, attrs.mat_id)
+
+        # RNG: one sub-stream per (lane, bounce, purpose).
+        kb = jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, depth)
+        k_sphere = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+            kb, sampling.TAG_BSDF
+        )
+        k_u = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+            kb, sampling.TAG_FRESNEL
+        )
+        sphere = jax.vmap(lambda k: sampling.uniform_sphere(k))(k_sphere)
+        fresnel_u = jax.vmap(lambda k: jax.random.uniform(k))(k_u)
+
+        direct = direct_lighting(
+            scene.lights, occlude, attrs.position, attrs.normal, -d, mats, active
+        )
+        bs = sample_bsdf(d, attrs.position, attrs.normal, mats, sphere, fresnel_u)
+
+        add = (active & bs.adds_direct)[..., None]
+        radiance = radiance + jnp.where(add, beta * direct, 0.0)
+        beta = jnp.where(active[..., None], beta * bs.throughput, beta)
+        o = jnp.where(active[..., None], bs.origin, o)
+        d = jnp.where(active[..., None], bs.direction, d)
+        return (o, d, beta, radiance, active)
+
+    state = (
+        origins,
+        directions,
+        jnp.ones((n, 3), jnp.float32),
+        jnp.zeros((n, 3), jnp.float32),
+        jnp.ones((n,), bool),
+    )
+    o, d, beta, radiance, alive = jax.lax.fori_loop(0, max_bounces, body, state)
+    valid = jnp.all(jnp.isfinite(radiance), axis=-1)  # isValidColor on the sample
+    return radiance, valid
+
+
+def render(
+    scene: SceneData,
+    camera: Camera,
+    settings: RenderSettings,
+    chunk_pixels: int = 16384,
+    tri_chunk: int = 512,
+    show_progress: bool = False,
+) -> np.ndarray:
+    """Full-frame render; returns linear-radiance image [H, W, 3] float32.
+
+    Gamma correction happens at save time (io.image), matching the reference
+    split between Renderer::render and Renderer::saveImage.
+    """
+    w, h, spp = settings.width, settings.height, settings.samples_per_pixel
+    aspect = settings.aspect_ratio()
+    render_banner(log, settings)
+
+    seed = settings.seed
+    if seed is None:
+        seed = int.from_bytes(np.random.bytes(4), "little")
+    base_key = jax.random.key(np.uint32(seed))
+
+    @partial(jax.jit, donate_argnums=())
+    def render_chunk(xs, ys):
+        pix_idx = ys * w + xs
+        n = xs.shape[0]
+
+        def sample_body(s, carry):
+            acc, cnt = carry
+            keys = jax.vmap(
+                lambda p: _fold_all(base_key, p, s)
+            )(pix_idx)
+            kj = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+                keys, sampling.TAG_PIXEL_JITTER
+            )
+            jitter = jax.vmap(lambda k: jax.random.uniform(k, (2,)))(kj)
+            u = (xs.astype(jnp.float32) + jitter[:, 0]) / (w - 1)
+            v = (ys.astype(jnp.float32) + jitter[:, 1]) / (h - 1)
+            o, d = get_rays(camera, u, v, aspect)
+            radiance, valid = trace_paths(
+                scene, o, d, keys, settings.max_bounces, tri_chunk=tri_chunk
+            )
+            acc = acc + jnp.where(valid[..., None], radiance, 0.0)
+            cnt = cnt + valid.astype(jnp.int32)
+            return acc, cnt
+
+        acc0 = jnp.zeros((n, 3), jnp.float32)
+        cnt0 = jnp.zeros((n,), jnp.int32)
+        return jax.lax.fori_loop(0, spp, sample_body, (acc0, cnt0))
+
+    ys_all, xs_all = np.mgrid[0:h, 0:w]
+    xs_flat = xs_all.reshape(-1).astype(np.int32)
+    ys_flat = ys_all.reshape(-1).astype(np.int32)
+    npix = w * h
+    chunk = min(chunk_pixels, npix)
+
+    acc = np.zeros((npix, 3), np.float32)
+    cnt = np.zeros((npix,), np.int32)
+    n_chunks = math.ceil(npix / chunk)
+    for ci in range(n_chunks):
+        lo = ci * chunk
+        hi = min(lo + chunk, npix)
+        xs = np.zeros((chunk,), np.int32)
+        ys = np.zeros((chunk,), np.int32)
+        xs[: hi - lo] = xs_flat[lo:hi]
+        ys[: hi - lo] = ys_flat[lo:hi]
+        a, c = render_chunk(jnp.asarray(xs), jnp.asarray(ys))
+        acc[lo:hi] = np.asarray(a)[: hi - lo]
+        cnt[lo:hi] = np.asarray(c)[: hi - lo]
+        if show_progress:
+            pct = (hi * 100) // npix
+            log.info("Rendering progress: %d%% (%d/%d pixels)", pct, hi, npix)
+
+    # Average valid samples; magenta where no sample was valid
+    # (renderer.hpp:75-79).
+    safe_cnt = np.maximum(cnt, 1)[:, None].astype(np.float32)
+    img = acc / safe_cnt
+    img = np.where((cnt > 0)[:, None], img, MAGENTA[None, :])
+    return img.reshape(h, w, 3)

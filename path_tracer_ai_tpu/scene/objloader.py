@@ -1,0 +1,173 @@
+"""Minimal OBJ/MTL parser (numpy, host-side).
+
+Replaces the reference's vendored tinyobjloader (used at src/scene.cpp:11-28)
+with the subset of OBJ/MTL this renderer needs:
+
+- v / vn / vt records
+- f records with v, v/vt, v//vn, v/vt/vn forms, negative (relative) indices,
+  and fan triangulation of polygons (tinyobjloader's `triangulate = true`
+  equivalent for the convex faces found in practice; scene.cpp:13)
+- mtllib / usemtl with per-face material indices in MTL-file order
+  (faces with no usemtl get material id -1, matching tinyobj)
+- MTL: newmtl, Kd, Ni, d, illum (the fields the scene builder consumes)
+
+This is a clean-room implementation: behavior matches what scene.cpp:8-293
+consumes from tinyobjloader, nothing more.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ObjMaterial:
+    name: str
+    # tinyobjloader's default diffuse is (0.6, 0.6, 0.6) when Kd is absent.
+    diffuse: tuple = (0.6, 0.6, 0.6)
+    ior: float = 1.5        # Ni; reference Material default ior (material.hpp:17)
+    dissolve: float = 1.0   # d
+    illum: int = 2
+
+
+@dataclasses.dataclass
+class ObjData:
+    """Parsed, triangulated OBJ content.
+
+    vertices:  [Nv, 3] float32 raw positions (pre-transform)
+    normals:   [Nn, 3] float32
+    texcoords: [Nt, 2] float32
+    v_idx:     [F, 3] int32 vertex indices per triangle
+    n_idx:     [F, 3] int32 normal indices (-1 where absent)
+    t_idx:     [F, 3] int32 texcoord indices (-1 where absent)
+    mat_ids:   [F] int32 per-triangle material index into `materials` (-1 none)
+    materials: MTL materials in file order
+    """
+
+    vertices: np.ndarray
+    normals: np.ndarray
+    texcoords: np.ndarray
+    v_idx: np.ndarray
+    n_idx: np.ndarray
+    t_idx: np.ndarray
+    mat_ids: np.ndarray
+    materials: List[ObjMaterial]
+
+
+def _parse_floats(parts, n):
+    vals = [float(p) for p in parts[:n]]
+    while len(vals) < n:
+        vals.append(0.0)
+    return vals
+
+
+def parse_mtl(path: str) -> List[ObjMaterial]:
+    materials: List[ObjMaterial] = []
+    cur: ObjMaterial | None = None
+    with open(path, "r", errors="replace") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            key = parts[0]
+            if key == "newmtl":
+                cur = ObjMaterial(name=parts[1] if len(parts) > 1 else "")
+                materials.append(cur)
+            elif cur is None:
+                continue
+            elif key == "Kd":
+                cur.diffuse = tuple(_parse_floats(parts[1:], 3))
+            elif key == "Ni":
+                cur.ior = float(parts[1])
+            elif key == "d":
+                cur.dissolve = float(parts[1])
+            elif key == "Tr":  # inverted dissolve convention
+                cur.dissolve = 1.0 - float(parts[1])
+            elif key == "illum":
+                cur.illum = int(float(parts[1]))
+    return materials
+
+
+def _resolve_index(raw: str, count: int) -> int:
+    """OBJ 1-based / negative-relative index -> 0-based (or -1 if empty)."""
+    if raw == "":
+        return -1
+    i = int(raw)
+    return i - 1 if i > 0 else count + i
+
+
+def load_obj(path: str) -> ObjData:
+    vertices: list = []
+    normals: list = []
+    texcoords: list = []
+    v_idx: list = []
+    n_idx: list = []
+    t_idx: list = []
+    mat_ids: list = []
+    materials: List[ObjMaterial] = []
+    mat_lookup: dict = {}
+    current_mat = -1
+    base_dir = os.path.dirname(os.path.abspath(path))
+
+    with open(path, "r", errors="replace") as fh:
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            parts = line.split()
+            if not parts:
+                continue
+            key = parts[0]
+            if key == "v":
+                vertices.append(_parse_floats(parts[1:], 3))
+            elif key == "vn":
+                normals.append(_parse_floats(parts[1:], 3))
+            elif key == "vt":
+                texcoords.append(_parse_floats(parts[1:], 2))
+            elif key == "f":
+                corners = []
+                for tok in parts[1:]:
+                    comps = tok.split("/")
+                    vi = _resolve_index(comps[0], len(vertices))
+                    ti = _resolve_index(comps[1], len(texcoords)) if len(comps) > 1 else -1
+                    ni = _resolve_index(comps[2], len(normals)) if len(comps) > 2 else -1
+                    corners.append((vi, ti, ni))
+                # Fan triangulation (scene.cpp relies on tinyobj triangulate).
+                for k in range(1, len(corners) - 1):
+                    tri = (corners[0], corners[k], corners[k + 1])
+                    v_idx.append([c[0] for c in tri])
+                    t_idx.append([c[1] for c in tri])
+                    n_idx.append([c[2] for c in tri])
+                    mat_ids.append(current_mat)
+            elif key == "usemtl":
+                name = parts[1] if len(parts) > 1 else ""
+                current_mat = mat_lookup.get(name, -1)
+            elif key == "mtllib":
+                # mtllib may list several files; paths relative to the OBJ.
+                for mtl_name in parts[1:]:
+                    mtl_path = os.path.join(base_dir, mtl_name)
+                    if not os.path.exists(mtl_path):
+                        continue
+                    for m in parse_mtl(mtl_path):
+                        mat_lookup[m.name] = len(materials)
+                        materials.append(m)
+
+    def arr(lst, dtype, width):
+        if not lst:
+            return np.zeros((0, width), dtype=dtype)
+        return np.asarray(lst, dtype=dtype)
+
+    return ObjData(
+        vertices=arr(vertices, np.float32, 3),
+        normals=arr(normals, np.float32, 3),
+        texcoords=arr(texcoords, np.float32, 2),
+        v_idx=arr(v_idx, np.int32, 3),
+        n_idx=arr(n_idx, np.int32, 3),
+        t_idx=arr(t_idx, np.int32, 3),
+        mat_ids=np.asarray(mat_ids, dtype=np.int32) if mat_ids else np.zeros((0,), np.int32),
+        materials=materials,
+    )
