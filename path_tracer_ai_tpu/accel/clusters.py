@@ -1,0 +1,109 @@
+"""Triangle-cluster acceleration structure (the TPU-native BVH).
+
+Role: replaces the reference's pointer-based median-split BVH
+(bvh.hpp:12-117) and the OptiX GAS (optix_renderer.cu:233-353). A
+pointer-chasing, per-ray-divergent tree walk is hostile to TPU vector
+memory (SURVEY.md §7 "Hard parts"); instead we build a flat two-phase
+structure designed for dense vector math:
+
+1. Triangles are Morton-sorted by centroid so consecutive triangles are
+   spatially local, then grouped into fixed-size clusters of S triangles
+   (padded with degenerate triangles that can never be hit).
+2. Each cluster gets an AABB. Traversal (engine.wavefront) culls whole
+   RAY BLOCKS against all cluster AABBs with a conservative interval slab
+   test (packet frustum culling), then intersects surviving
+   (block, cluster) pairs with dense [block, S] Möller–Trumbore sweeps on
+   the VPU.
+
+The build is host-side numpy (scene is static per render; build time is off
+the critical path — SURVEY.md §7.4). A C++ native builder with the same
+output layout can be slotted in via accel.native.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from path_tracer_ai_tpu.accel.morton import morton3d_np
+from path_tracer_ai_tpu.core.types import TrianglesSoA
+
+
+class ClusterAccel(NamedTuple):
+    """Flat device arrays; C clusters of S triangle slots each."""
+
+    bmin: jnp.ndarray    # [C, 3] cluster AABB min
+    bmax: jnp.ndarray    # [C, 3] cluster AABB max
+    v0: jnp.ndarray      # [C, S, 3] triangle base vertex
+    e1: jnp.ndarray      # [C, S, 3] edge v1-v0
+    e2: jnp.ndarray      # [C, S, 3] edge v2-v0
+    tri_id: jnp.ndarray  # [C, S] int32 global triangle index (-1 = padding)
+    scene_min: jnp.ndarray  # [3] scene bounds (for ray sort keys)
+    scene_max: jnp.ndarray  # [3]
+
+    @property
+    def num_clusters(self) -> int:
+        return self.bmin.shape[0]
+
+    @property
+    def cluster_size(self) -> int:
+        return self.v0.shape[1]
+
+
+def build_clusters(tris: TrianglesSoA, cluster_size: int = 64) -> ClusterAccel:
+    """Morton-sort triangles and pack into fixed-size clusters."""
+    v0 = np.asarray(tris.v0, np.float32)
+    v1 = np.asarray(tris.v1, np.float32)
+    v2 = np.asarray(tris.v2, np.float32)
+    t = v0.shape[0]
+    if t == 0:
+        raise ValueError("cannot build acceleration structure over 0 triangles")
+
+    centers = (v0 + v1 + v2) / 3.0
+    cmin = centers.min(axis=0)
+    cmax = centers.max(axis=0)
+    order = np.argsort(morton3d_np(centers, cmin, cmax), kind="stable").astype(np.int64)
+
+    s = cluster_size
+    c = -(-t // s)
+    pad = c * s - t
+
+    def pack(a, fill=0.0):
+        a = a[order]
+        if pad:
+            a = np.concatenate([a, np.full((pad,) + a.shape[1:], fill, a.dtype)])
+        return a.reshape(c, s, *a.shape[1:])
+
+    pv0 = pack(v0)
+    pv1 = pack(v1)
+    pv2 = pack(v2)
+    tri_id = order.astype(np.int32)
+    if pad:
+        tri_id = np.concatenate([tri_id, np.full(pad, -1, np.int32)])
+    tri_id = tri_id.reshape(c, s)
+
+    # Padding triangles are all-zero -> zero-area -> MT determinant 0 -> no hit,
+    # but they must not inflate cluster AABBs: mask them out of the bounds.
+    valid = (tri_id >= 0)[..., None]  # [C, S, 1]
+    big = np.float32(np.finfo(np.float32).max)
+    lo = np.where(valid, np.minimum(np.minimum(pv0, pv1), pv2), big)
+    hi = np.where(valid, np.maximum(np.maximum(pv0, pv1), pv2), -big)
+    bmin = lo.min(axis=1)
+    bmax = hi.max(axis=1)
+
+    scene_min = np.minimum(np.minimum(v0, v1), v2).min(axis=0)
+    scene_max = np.maximum(np.maximum(v0, v1), v2).max(axis=0)
+
+    return ClusterAccel(
+        bmin=jnp.asarray(bmin),
+        bmax=jnp.asarray(bmax),
+        v0=jnp.asarray(pv0),
+        e1=jnp.asarray(pv1 - pv0),
+        e2=jnp.asarray(pv2 - pv0),
+        tri_id=jnp.asarray(tri_id),
+        scene_min=jnp.asarray(scene_min.astype(np.float32)),
+        scene_max=jnp.asarray(scene_max.astype(np.float32)),
+    )

@@ -113,7 +113,6 @@ def main(argv=None) -> int:
     log.info("Rendering completed in %.3f seconds", elapsed)
 
     save_image(args.output, image, settings.gamma)
-    log.info("Image saved as: %s", args.output)
     return 0
 
 

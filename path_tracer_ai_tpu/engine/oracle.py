@@ -31,13 +31,8 @@ import jax.numpy as jnp
 
 from path_tracer_ai_tpu.config import RenderSettings
 from path_tracer_ai_tpu.core import sampling
-from path_tracer_ai_tpu.core.types import RAY_TMIN, SceneData
-from path_tracer_ai_tpu.engine import intersect
-from path_tracer_ai_tpu.engine.shading import (
-    direct_lighting,
-    gather_materials,
-    sample_bsdf,
-)
+from path_tracer_ai_tpu.core.types import SceneData
+from path_tracer_ai_tpu.engine import tracer
 from path_tracer_ai_tpu.scene.camera import Camera, get_rays
 from path_tracer_ai_tpu.utils.logging import get_logger, render_banner
 
@@ -61,53 +56,12 @@ def trace_paths(
     max_bounces: int,
     tri_chunk: int = 512,
 ):
-    """Iterative tracePath over a lane batch. Returns (radiance [N,3], valid [N])."""
-    tris = scene.triangles
-    n = origins.shape[0]
-
-    def occlude(o, d, t_max):
-        return intersect.any_hit(tris, o, d, RAY_TMIN, t_max, chunk_size=tri_chunk)
-
-    def body(depth, state):
-        o, d, beta, radiance, alive = state
-
-        ch = intersect.closest_hit(tris, o, d, RAY_TMIN, jnp.inf, chunk_size=tri_chunk)
-        attrs = intersect.hit_attributes(tris, o, d, ch.t, ch.tri)
-        active = alive & ch.hit
-        mats = gather_materials(scene.materials, attrs.mat_id)
-
-        # RNG: one sub-stream per (lane, bounce, purpose).
-        kb = jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, depth)
-        k_sphere = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
-            kb, sampling.TAG_BSDF
-        )
-        k_u = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
-            kb, sampling.TAG_FRESNEL
-        )
-        sphere = jax.vmap(lambda k: sampling.uniform_sphere(k))(k_sphere)
-        fresnel_u = jax.vmap(lambda k: jax.random.uniform(k))(k_u)
-
-        direct = direct_lighting(
-            scene.lights, occlude, attrs.position, attrs.normal, -d, mats, active
-        )
-        bs = sample_bsdf(d, attrs.position, attrs.normal, mats, sphere, fresnel_u)
-
-        add = (active & bs.adds_direct)[..., None]
-        radiance = radiance + jnp.where(add, beta * direct, 0.0)
-        beta = jnp.where(active[..., None], beta * bs.throughput, beta)
-        o = jnp.where(active[..., None], bs.origin, o)
-        d = jnp.where(active[..., None], bs.direction, d)
-        return (o, d, beta, radiance, active)
-
-    state = (
-        origins,
-        directions,
-        jnp.ones((n, 3), jnp.float32),
-        jnp.zeros((n, 3), jnp.float32),
-        jnp.ones((n,), bool),
+    """Iterative tracePath over a lane batch with the exact brute-force
+    traversal backend. Returns (radiance [N,3], valid [N])."""
+    closest, occlude = tracer.brute_force_backend(scene, tri_chunk)
+    radiance, valid, _stats = tracer.trace_paths(
+        scene, origins, directions, keys, max_bounces, closest, occlude
     )
-    o, d, beta, radiance, alive = jax.lax.fori_loop(0, max_bounces, body, state)
-    valid = jnp.all(jnp.isfinite(radiance), axis=-1)  # isValidColor on the sample
     return radiance, valid
 
 

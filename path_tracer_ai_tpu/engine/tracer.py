@@ -1,0 +1,112 @@
+"""The bounce loop: reference tracePath semantics over lane batches.
+
+Shared by both engines; the traversal backend is injected:
+- oracle engine  -> brute-force exact scans (engine.intersect)
+- wavefront engine -> packet cluster traversal (accel.traverse)
+
+The loop is the iterative form of the recursive tracePath
+(renderer.hpp:129-250); see engine.shading for the throughput derivation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from path_tracer_ai_tpu.core import sampling
+from path_tracer_ai_tpu.core.types import RAY_TMIN, SceneData
+from path_tracer_ai_tpu.engine import intersect
+from path_tracer_ai_tpu.engine.shading import (
+    direct_lighting,
+    gather_materials,
+    sample_bsdf,
+)
+
+# closest_fn(origins, directions, t_min, t_max) -> intersect.ClosestHit-like
+# occlude_fn(origins, directions, t_max) -> [K] bool
+ClosestFn = Callable[..., object]
+OccludeFn = Callable[..., jnp.ndarray]
+
+
+def trace_paths(
+    scene: SceneData,
+    origins: jnp.ndarray,     # [N,3]
+    directions: jnp.ndarray,  # [N,3]
+    keys,                     # [N] key array (one stream per lane)
+    max_bounces: int,
+    closest_fn: ClosestFn,
+    occlude_fn: OccludeFn,
+):
+    """Returns (radiance [N,3], valid [N], stats).
+
+    stats = (n_closest_rays, n_shadow_rays): the number of live closest-hit
+    and shadow rays actually traced across all bounces (the Mrays metric of
+    BASELINE.md counts these).
+    """
+    tris = scene.triangles
+    n = origins.shape[0]
+    n_lights = scene.lights.position.shape[0]
+
+    def body(depth, state):
+        o, d, beta, radiance, alive, n_closest, n_shadow = state
+
+        ch = closest_fn(o, d, RAY_TMIN, jnp.inf)
+        safe_tri = jnp.maximum(ch.tri, 0)  # packet backend uses -1 for miss
+        attrs = intersect.hit_attributes(tris, o, d, ch.t, safe_tri)
+        active = alive & ch.hit
+        mats = gather_materials(scene.materials, attrs.mat_id)
+
+        # RNG: one sub-stream per (lane, bounce, purpose).
+        kb = jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, depth)
+        k_sphere = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+            kb, sampling.TAG_BSDF
+        )
+        k_u = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+            kb, sampling.TAG_FRESNEL
+        )
+        sphere = jax.vmap(lambda k: sampling.uniform_sphere(k))(k_sphere)
+        fresnel_u = jax.vmap(lambda k: jax.random.uniform(k))(k_u)
+
+        direct = direct_lighting(
+            scene.lights, occlude_fn, attrs.position, attrs.normal, -d, mats, active
+        )
+        bs = sample_bsdf(d, attrs.position, attrs.normal, mats, sphere, fresnel_u)
+
+        add = (active & bs.adds_direct)[..., None]
+        radiance = radiance + jnp.where(add, beta * direct, 0.0)
+        beta = jnp.where(active[..., None], beta * bs.throughput, beta)
+        o = jnp.where(active[..., None], bs.origin, o)
+        d = jnp.where(active[..., None], bs.direction, d)
+        n_closest = n_closest + jnp.sum(alive.astype(jnp.int32))
+        n_shadow = n_shadow + n_lights * jnp.sum(active.astype(jnp.int32))
+        return (o, d, beta, radiance, active, n_closest, n_shadow)
+
+    state = (
+        origins,
+        directions,
+        jnp.ones((n, 3), jnp.float32),
+        jnp.zeros((n, 3), jnp.float32),
+        jnp.ones((n,), bool),
+        jnp.int32(0),
+        jnp.int32(0),
+    )
+    out = jax.lax.fori_loop(0, max_bounces, body, state)
+    radiance, _alive, n_closest, n_shadow = out[3], out[4], out[5], out[6]
+    # isValidColor filter on the whole sample (renderer.hpp:69-73).
+    valid = jnp.all(jnp.isfinite(radiance), axis=-1)
+    return radiance, valid, (n_closest, n_shadow)
+
+
+def brute_force_backend(scene: SceneData, tri_chunk: int = 512):
+    """Exact traversal backend used by the oracle engine."""
+    tris = scene.triangles
+
+    def closest(o, d, t_min, t_max):
+        return intersect.closest_hit(tris, o, d, t_min, t_max, chunk_size=tri_chunk)
+
+    def occlude(o, d, t_max):
+        return intersect.any_hit(tris, o, d, RAY_TMIN, t_max, chunk_size=tri_chunk)
+
+    return closest, occlude

@@ -1,0 +1,245 @@
+"""Wavefront engine: the accelerated render path (the reference GPU role).
+
+Architecture (SURVEY.md §7, BASELINE.md north star): instead of the
+reference's per-pixel recursive OptiX megakernel (optix_kernels.cu:49-124),
+rays are processed in fixed-size SoA WAVES that stay on device for the whole
+bounce loop — zero host round-trips per bounce:
+
+  generate wave -> [bounce loop: sort -> cull -> sweep -> shade] -> accumulate
+
+- traversal: packet cluster traversal (accel.traverse) with per-wave ray
+  sorting for coherence
+- shading: the exact reference semantics (engine.shading, shared with the
+  oracle engine by construction)
+- scheduling: sample-chunk outer loop x pixel-chunk inner loop; every
+  full-image sample pass is a progressive accumulation step that can be
+  checkpointed and resumed (SURVEY.md §5 checkpoint/resume; the reference
+  has none — one-shot render only)
+- multi-chip: `tile_devices` routes to parallel.mesh (framebuffer tiles
+  sharded over a jax Mesh; the reference is single-device)
+
+Radiance semantics are identical to the oracle; the only differences are
+traversal backend and scheduling, which the accel-vs-brute-force equality
+tests pin down.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from path_tracer_ai_tpu.accel.clusters import ClusterAccel, build_clusters
+from path_tracer_ai_tpu.accel import traverse
+from path_tracer_ai_tpu.config import RenderSettings
+from path_tracer_ai_tpu.core.types import RAY_TMIN, SceneData
+from path_tracer_ai_tpu.engine import tracer
+from path_tracer_ai_tpu.engine.oracle import MAGENTA, _fold_all
+from path_tracer_ai_tpu.io import checkpoint as ckpt_io
+from path_tracer_ai_tpu.scene.camera import Camera, get_rays
+from path_tracer_ai_tpu.utils.logging import get_logger, render_banner
+
+log = get_logger(__name__)
+
+
+def packet_backend(accel: ClusterAccel, block_size: int = 256):
+    """Traversal backend over the cluster structure."""
+
+    def closest(o, d, t_min, t_max):
+        return traverse.closest_hit_packets(
+            accel, o, d, t_min, t_max, block_size=block_size
+        )
+
+    def occlude(o, d, t_max):
+        return traverse.any_hit_packets(
+            accel, o, d, RAY_TMIN, t_max, block_size=block_size
+        )
+
+    return closest, occlude
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "w", "h", "sc", "pix_chunk", "lanes_padded",
+        "block_size", "max_bounces", "aspect",
+    ),
+)
+def _render_wave(
+    scene, accel, camera, base_key, xs, ys, s0, spp,
+    *, w, h, sc, pix_chunk, lanes_padded, block_size, max_bounces, aspect,
+):
+    """One wave: `pix_chunk` pixels x `sc` consecutive samples.
+
+    Top-level jit with static shape params so the compiled executable is
+    cached ACROSS render() calls (scene/camera/key are traced operands).
+    """
+    closest, occlude = packet_backend(accel, block_size)
+    n_lanes = pix_chunk * sc
+
+    pix_idx = (ys * w + xs).astype(jnp.int32)              # [P]
+    lane_pix = jnp.repeat(pix_idx, sc)                     # [P*sc]
+    lane_x = jnp.repeat(xs, sc)
+    lane_y = jnp.repeat(ys, sc)
+    lane_s = jnp.tile(jnp.arange(sc, dtype=jnp.int32), pix_chunk) + s0
+
+    pad = lanes_padded - n_lanes
+    if pad:
+        lane_pix = jnp.pad(lane_pix, (0, pad))
+        lane_x = jnp.pad(lane_x, (0, pad))
+        lane_y = jnp.pad(lane_y, (0, pad))
+        lane_s = jnp.pad(lane_s, (0, pad))
+
+    keys = jax.vmap(lambda p, s: _fold_all(base_key, p, s))(lane_pix, lane_s)
+    kj = jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, 0)
+    jitter = jax.vmap(lambda k: jax.random.uniform(k, (2,)))(kj)
+    u = (lane_x.astype(jnp.float32) + jitter[:, 0]) / (w - 1)
+    v = (lane_y.astype(jnp.float32) + jitter[:, 1]) / (h - 1)
+    o, d = get_rays(camera, u, v, aspect)
+
+    radiance, valid, (nc, ns) = tracer.trace_paths(
+        scene, o, d, keys, max_bounces, closest, occlude
+    )
+    if pad:
+        radiance = radiance[:n_lanes]
+        valid = valid[:n_lanes]
+    r = radiance.reshape(pix_chunk, sc, 3)
+    vl = valid.reshape(pix_chunk, sc)
+    # Drop samples beyond the requested spp (tail pass when spp % sc != 0).
+    vl = vl & (lane_s[:n_lanes].reshape(pix_chunk, sc) < spp)
+    acc = jnp.sum(jnp.where(vl[..., None], r, 0.0), axis=1)  # [P, 3]
+    cnt = jnp.sum(vl.astype(jnp.int32), axis=1)              # [P]
+    return acc, cnt, nc, ns
+
+
+class RenderStats:
+    """Per-render counters (rays traced, wall time) for the Mrays/s metric."""
+
+    def __init__(self):
+        self.closest_rays = 0
+        self.shadow_rays = 0
+        self.seconds = 0.0
+
+    @property
+    def total_rays(self) -> int:
+        return self.closest_rays + self.shadow_rays
+
+    @property
+    def mrays_per_s(self) -> float:
+        return self.total_rays / self.seconds / 1e6 if self.seconds > 0 else 0.0
+
+
+def render(
+    scene: SceneData,
+    camera: Camera,
+    settings: RenderSettings,
+    accel: Optional[ClusterAccel] = None,
+    wave_size: int = 1 << 17,
+    block_size: int = 256,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    tile_devices: Optional[int] = None,
+    show_progress: bool = False,
+    stats: Optional[RenderStats] = None,
+) -> np.ndarray:
+    """Full-frame wavefront render -> linear [H, W, 3] float32."""
+    if tile_devices:
+        from path_tracer_ai_tpu.parallel.mesh import render_tiled
+
+        return render_tiled(scene, camera, settings, n_devices=tile_devices)
+
+    w, h, spp = settings.width, settings.height, settings.samples_per_pixel
+    aspect = settings.aspect_ratio()
+    render_banner(log, settings)
+
+    if accel is None:
+        t0 = time.perf_counter()
+        accel = build_clusters(scene.triangles)
+        log.info(
+            "Built cluster accel: %d clusters x %d slots (%.3fs)",
+            accel.num_clusters, accel.cluster_size, time.perf_counter() - t0,
+        )
+
+    seed = settings.seed
+    if seed is None:
+        seed = int.from_bytes(np.random.bytes(4), "little")
+    base_key = jax.random.key(np.uint32(seed))
+
+    npix = w * h
+    # Pixel chunk: whole waves of full pixels; sc samples per lane-pass.
+    pix_chunk = min(npix, wave_size)
+    sc = max(1, wave_size // pix_chunk)
+    sc = min(sc, spp)
+    n_lanes = pix_chunk * sc
+    # Pad lanes to traversal block granularity.
+    lanes_padded = -(-n_lanes // block_size) * block_size
+
+    def render_wave(xs, ys, s0):
+        return _render_wave(
+            scene, accel, camera, base_key, xs, ys, s0, spp,
+            w=w, h=h, sc=sc, pix_chunk=pix_chunk,
+            lanes_padded=lanes_padded, block_size=block_size,
+            max_bounces=settings.max_bounces, aspect=aspect,
+        )
+
+    ys_all, xs_all = np.mgrid[0:h, 0:w]
+    xs_flat = xs_all.reshape(-1).astype(np.int32)
+    ys_flat = ys_all.reshape(-1).astype(np.int32)
+
+    # Resume from checkpoint if present.
+    acc = np.zeros((npix, 3), np.float32)
+    cnt = np.zeros((npix,), np.int32)
+    s_start = 0
+    fingerprint = ckpt_io.fingerprint(settings, scene.triangles.count, seed)
+    if checkpoint_path:
+        loaded = ckpt_io.load(checkpoint_path, fingerprint)
+        if loaded is not None:
+            acc, cnt, s_start = loaded
+            log.info("Resuming from checkpoint at sample %d/%d", s_start, spp)
+
+    if stats is None:
+        stats = RenderStats()
+    t_start = time.perf_counter()
+
+    n_pix_chunks = math.ceil(npix / pix_chunk)
+    passes_done = 0
+    for s0 in range(s_start, spp, sc):
+        for ci in range(n_pix_chunks):
+            lo = ci * pix_chunk
+            hi = min(lo + pix_chunk, npix)
+            xs = np.zeros((pix_chunk,), np.int32)
+            ys = np.zeros((pix_chunk,), np.int32)
+            xs[: hi - lo] = xs_flat[lo:hi]
+            ys[: hi - lo] = ys_flat[lo:hi]
+            a, c, nc, ns = render_wave(jnp.asarray(xs), jnp.asarray(ys), s0)
+            acc[lo:hi] += np.asarray(a)[: hi - lo]
+            cnt[lo:hi] += np.asarray(c)[: hi - lo]
+            stats.closest_rays += int(nc)
+            stats.shadow_rays += int(ns)
+        passes_done += 1
+        if show_progress:
+            pct = min(100, ((s0 + sc) * 100) // spp)
+            log.info("Rendering progress: %d%% (%d/%d samples)", pct, min(s0 + sc, spp), spp)
+        if checkpoint_path and (
+            (checkpoint_every and passes_done % checkpoint_every == 0)
+            or s0 + sc >= spp
+        ):
+            ckpt_io.save(checkpoint_path, acc, cnt, s0 + sc, fingerprint)
+
+    stats.seconds += time.perf_counter() - t_start
+    log.info(
+        "Traced %.2fM rays (%.2fM closest + %.2fM shadow) at %.1f Mrays/s",
+        stats.total_rays / 1e6, stats.closest_rays / 1e6,
+        stats.shadow_rays / 1e6, stats.mrays_per_s,
+    )
+
+    safe_cnt = np.maximum(cnt, 1)[:, None].astype(np.float32)
+    img = acc / safe_cnt
+    img = np.where((cnt > 0)[:, None], img, MAGENTA[None, :])
+    return img.reshape(h, w, 3)

@@ -1,16 +1,20 @@
 """Test env: force CPU backend with 8 virtual devices (SURVEY.md §4).
 
-Must run before the first jax import anywhere in the test session.
+Note: this image ships a sitecustomize (axon TPU plugin) that imports jax at
+interpreter startup and pins JAX_PLATFORMS=axon, so plain env vars are too
+late — we must override via jax.config before any backend initializes.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,152 @@
+"""Cluster accel + packet traversal: exact equivalence with brute force.
+
+The packet traversal must be EXACT (conservative culling never drops a hit);
+these tests sweep random soups and structured scenes against the
+brute-force oracle backend.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from path_tracer_ai_tpu.accel.clusters import build_clusters
+from path_tracer_ai_tpu.accel.morton import morton3d, morton3d_np
+from path_tracer_ai_tpu.accel.traverse import any_hit_packets, closest_hit_packets
+from path_tracer_ai_tpu.core.types import triangles_from_numpy
+from path_tracer_ai_tpu.engine.intersect import any_hit, closest_hit
+
+
+def random_soup(rng, t, spread=4.0, size=0.5):
+    base = rng.uniform(-spread, spread, (t, 3)).astype(np.float32)
+    v0 = base
+    v1 = base + rng.uniform(-size, size, (t, 3)).astype(np.float32)
+    v2 = base + rng.uniform(-size, size, (t, 3)).astype(np.float32)
+    n = np.tile([[0, 1, 0]], (t, 1)).astype(np.float32)
+    uv = np.zeros((t, 2), np.float32)
+    return triangles_from_numpy(v0, v1, v2, n, n, n, uv, uv, uv,
+                                np.zeros(t, np.int32))
+
+
+def random_rays(rng, n, spread=6.0):
+    o = rng.uniform(-spread, spread, (n, 3)).astype(np.float32)
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+class TestMorton:
+    def test_locality(self):
+        pts = np.asarray([[0, 0, 0], [0.01, 0, 0], [1, 1, 1]], np.float32)
+        codes = morton3d_np(pts, np.zeros(3), np.ones(3))
+        assert abs(int(codes[0]) - int(codes[1])) < abs(int(codes[0]) - int(codes[2]))
+
+    def test_np_jnp_agree(self):
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-2, 3, (256, 3)).astype(np.float32)
+        lo, hi = pts.min(0), pts.max(0)
+        a = morton3d_np(pts, lo, hi, bits=9)
+        b = np.asarray(morton3d(jnp.asarray(pts), jnp.asarray(lo), jnp.asarray(hi), bits=9))
+        np.testing.assert_array_equal(a, b)
+
+
+class TestBuild:
+    def test_every_triangle_in_exactly_one_slot(self, rng):
+        tris = random_soup(rng, 333)
+        accel = build_clusters(tris, cluster_size=64)
+        ids = np.asarray(accel.tri_id).reshape(-1)
+        real = ids[ids >= 0]
+        assert sorted(real.tolist()) == list(range(333))
+
+    def test_cluster_aabbs_contain_their_triangles(self, rng):
+        tris = random_soup(rng, 200)
+        accel = build_clusters(tris, cluster_size=32)
+        v0 = np.asarray(accel.v0)
+        e1 = np.asarray(accel.e1)
+        e2 = np.asarray(accel.e2)
+        ids = np.asarray(accel.tri_id)
+        bmin = np.asarray(accel.bmin)
+        bmax = np.asarray(accel.bmax)
+        for c in range(accel.num_clusters):
+            valid = ids[c] >= 0
+            pts = np.concatenate([
+                v0[c][valid], (v0[c] + e1[c])[valid], (v0[c] + e2[c])[valid]
+            ])
+            assert (pts >= bmin[c] - 1e-5).all()
+            assert (pts <= bmax[c] + 1e-5).all()
+
+    def test_padding_cannot_inflate_bounds(self):
+        # single triangle far from origin; padding slots are zeros
+        tris = triangles_from_numpy(
+            [[10, 10, 10]], [[11, 10, 10]], [[10, 11, 10]],
+            [[0, 0, 1]] * 1, [[0, 0, 1]], [[0, 0, 1]],
+            [[0, 0]], [[0, 0]], [[0, 0]], [0],
+        )
+        accel = build_clusters(tris, cluster_size=8)
+        assert np.asarray(accel.bmin)[0].min() >= 9.9
+
+
+class TestTraversalExactness:
+    @pytest.mark.parametrize("cluster_size,block", [(32, 64), (64, 128)])
+    def test_closest_matches_bruteforce(self, rng, cluster_size, block):
+        tris = random_soup(rng, 500)
+        accel = build_clusters(tris, cluster_size=cluster_size)
+        o, d = random_rays(rng, 256)
+        ph = closest_hit_packets(accel, o, d, 1e-3, np.inf, block_size=block)
+        bh = closest_hit(tris, o, d, 1e-3, np.inf)
+        np.testing.assert_array_equal(np.asarray(ph.hit), np.asarray(bh.hit))
+        m = np.asarray(bh.hit)
+        np.testing.assert_allclose(
+            np.asarray(ph.t)[m], np.asarray(bh.t)[m], rtol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(ph.tri)[m], np.asarray(bh.tri)[m])
+
+    def test_anyhit_matches_bruteforce_per_ray_tmax(self, rng):
+        tris = random_soup(rng, 400)
+        accel = build_clusters(tris, cluster_size=32)
+        o, d = random_rays(rng, 128)
+        tmax = jnp.asarray(rng.uniform(0.3, 12.0, 128).astype(np.float32))
+        pa = any_hit_packets(accel, o, d, 1e-3, tmax, block_size=64)
+        ba = any_hit(tris, o, d, 1e-3, tmax)
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(ba))
+
+    def test_incoherent_rays_mixed_octants(self, rng):
+        """Direction intervals spanning zero -> conservative path."""
+        tris = random_soup(rng, 300)
+        accel = build_clusters(tris, cluster_size=32)
+        o, d = random_rays(rng, 128)
+        # no sorting: blocks mix octants on purpose
+        ph = closest_hit_packets(accel, o, d, 1e-3, np.inf, block_size=64, sort=False)
+        bh = closest_hit(tris, o, d, 1e-3, np.inf)
+        np.testing.assert_array_equal(np.asarray(ph.hit), np.asarray(bh.hit))
+        m = np.asarray(bh.hit)
+        np.testing.assert_allclose(np.asarray(ph.t)[m], np.asarray(bh.t)[m], rtol=1e-5)
+
+    def test_rays_inside_geometry(self, rng):
+        """Origins inside the soup's bounds (bounce-ray regime)."""
+        tris = random_soup(rng, 300, spread=2.0)
+        accel = build_clusters(tris, cluster_size=16)
+        o = jnp.asarray(rng.uniform(-2, 2, (64, 3)).astype(np.float32))
+        d = rng.standard_normal((64, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        d = jnp.asarray(d)
+        ph = closest_hit_packets(accel, o, d, 1e-3, np.inf, block_size=64)
+        bh = closest_hit(tris, o, d, 1e-3, np.inf)
+        np.testing.assert_array_equal(np.asarray(ph.hit), np.asarray(bh.hit))
+
+    def test_shrinking_tmax_prunes_correctly(self, rng):
+        """Dense planes stacked along z: nearest must win."""
+        planes = []
+        for z in [1.0, 2.0, 3.0, 4.0]:
+            planes.append(([-5, -5, z], [5, -5, z], [0, 5, z]))
+        v0 = np.asarray([p[0] for p in planes], np.float32)
+        v1 = np.asarray([p[1] for p in planes], np.float32)
+        v2 = np.asarray([p[2] for p in planes], np.float32)
+        n = np.tile([[0, 0, -1]], (4, 1)).astype(np.float32)
+        uv = np.zeros((4, 2), np.float32)
+        tris = triangles_from_numpy(v0, v1, v2, n, n, n, uv, uv, uv,
+                                    np.zeros(4, np.int32))
+        accel = build_clusters(tris, cluster_size=2)
+        o = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 0.0]), (64, 3))
+        d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (64, 3))
+        ph = closest_hit_packets(accel, o, d, 1e-3, np.inf, block_size=64)
+        np.testing.assert_allclose(np.asarray(ph.t), 1.0, rtol=1e-6)
