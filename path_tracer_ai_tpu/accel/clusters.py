@@ -62,10 +62,19 @@ def build_clusters(tris: TrianglesSoA, cluster_size: int = 64) -> ClusterAccel:
     if t == 0:
         raise ValueError("cannot build acceleration structure over 0 triangles")
 
-    centers = (v0 + v1 + v2) / 3.0
-    cmin = centers.min(axis=0)
-    cmax = centers.max(axis=0)
-    order = np.argsort(morton3d_np(centers, cmin, cmax), kind="stable").astype(np.int64)
+    order = None
+    try:  # native C++ builder (same ordering contract), Python fallback
+        from path_tracer_ai_tpu.accel.native import native_morton_order
+
+        order = native_morton_order(v0, v1, v2)
+    except Exception:  # noqa: BLE001
+        order = None
+    if order is None:
+        centers = (v0 + v1 + v2) / 3.0
+        cmin = centers.min(axis=0)
+        cmax = centers.max(axis=0)
+        order = np.argsort(morton3d_np(centers, cmin, cmax), kind="stable")
+    order = order.astype(np.int64)
 
     s = cluster_size
     c = -(-t // s)

@@ -101,7 +101,23 @@ def _resolve_index(raw: str, count: int) -> int:
     return i - 1 if i > 0 else count + i
 
 
-def load_obj(path: str) -> ObjData:
+def load_obj(path: str, prefer_native: bool = True) -> ObjData:
+    """Parse an OBJ file (native C++ fast path, pure-Python fallback)."""
+    if prefer_native:
+        try:
+            from path_tracer_ai_tpu.accel.native import native_load_obj
+
+            data = native_load_obj(path)
+            if data is not None:
+                return data
+        except OSError:
+            raise  # unreadable file: consistent error either path
+        except Exception:  # noqa: BLE001 — never let the fast path block loads
+            pass
+    return _load_obj_py(path)
+
+
+def _load_obj_py(path: str) -> ObjData:
     vertices: list = []
     normals: list = []
     texcoords: list = []
