@@ -42,14 +42,23 @@ class PacketHit(NamedTuple):
 
 
 def _sort_keys(accel: ClusterAccel, origins, directions):
-    """Coherence key: 3-bit direction octant + 27-bit origin Morton cell."""
+    """Coherence key: direction octant (3b) + direction Morton (9b) +
+    origin Morton (18b).
+
+    Direction bits lead: the conservative block frustum degrades fastest
+    with direction spread (a block whose directions span a wide cone sees
+    most of the scene), so bounce/shadow waves must be grouped by direction
+    first, position second.
+    """
     octant = (
         (directions[:, 0] < 0).astype(jnp.uint32) * 4
         + (directions[:, 1] < 0).astype(jnp.uint32) * 2
         + (directions[:, 2] < 0).astype(jnp.uint32)
     )
-    cell = morton3d(origins, accel.scene_min, accel.scene_max, bits=9)
-    return (octant << 27) | cell
+    ones = jnp.ones((3,), jnp.float32)
+    dcell = morton3d(directions, -ones, ones, bits=3)       # 9 bits
+    ocell = morton3d(origins, accel.scene_min, accel.scene_max, bits=6)  # 18
+    return (octant << 27) | (dcell << 18) | ocell
 
 
 def _block_candidates(accel, o_blk, d_blk, t_max_blk):
@@ -101,8 +110,9 @@ def _block_candidates(accel, o_blk, d_blk, t_max_blk):
     cand = (lb <= ub) & (ub >= 0.0) & (lb <= tmax_ub[:, None])
     entry = jnp.where(cand, jnp.maximum(lb, 0.0), inf)
     order = jnp.argsort(entry, axis=1).astype(jnp.int32)  # candidates first
+    entry_sorted = jnp.take_along_axis(entry, order, axis=1)
     n_cand = jnp.sum(cand, axis=1).astype(jnp.int32)
-    return order, n_cand
+    return order, n_cand, entry_sorted
 
 
 def _mt_sweep(o_blk, d_blk, cv0, ce1, ce2, t_min, t_max_blk):
@@ -110,25 +120,120 @@ def _mt_sweep(o_blk, d_blk, cv0, ce1, ce2, t_min, t_max_blk):
 
     Returns (t [B,R,S] with inf where invalid, valid mask). Identical math to
     core.geometry.moller_trumbore (triangle.hpp:23-67) with precomputed edges.
-    """
-    o = o_blk[:, :, None, :]
-    d = d_blk[:, :, None, :]
-    e1 = ce1[:, None, :, :]
-    e2 = ce2[:, None, :, :]
-    v0 = cv0[:, None, :, :]
 
-    h = vec.cross(d, e2)
-    a = vec.dot(e1, h)
+    Written COMPONENT-WISE on [B,R,S] scalars (no [...,3] stacking): stacked
+    cross/dot would materialize [B,R,S,3] intermediates in HBM, while pure
+    elementwise chains fuse into the downstream min-reduction — this is the
+    hot loop of the whole renderer (HBM bandwidth is the budget).
+    """
+    ox, oy, oz = (o_blk[:, :, None, k] for k in range(3))
+    dx, dy, dz = (d_blk[:, :, None, k] for k in range(3))
+    e1x, e1y, e1z = (ce1[:, None, :, k] for k in range(3))
+    e2x, e2y, e2z = (ce2[:, None, :, k] for k in range(3))
+    v0x, v0y, v0z = (cv0[:, None, :, k] for k in range(3))
+
+    # h = d x e2
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
     ok = jnp.abs(a) > MT_EPSILON
     f = 1.0 / jnp.where(ok, a, 1.0)
-    s = o - v0
-    u = f * vec.dot(s, h)
-    q = vec.cross(s, e1)
-    v = f * vec.dot(d, q)
-    t = f * vec.dot(e2, q)
+    sx = ox - v0x
+    sy = oy - v0y
+    sz = oz - v0z
+    u = f * (sx * hx + sy * hy + sz * hz)
+    # q = s x e1
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
     ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
     ok &= (t >= t_min) & (t <= t_max_blk[:, :, None])
     return jnp.where(ok, t, jnp.inf), ok
+
+
+def _cascade_traverse(
+    block_arrays: tuple,
+    carry: tuple,
+    sweep_update,
+    active_fn,
+    min_blocks: int = 32,
+):
+    """Cascaded block traversal: retire finished blocks, halve the array.
+
+    The naive while_loop pays max(n_cand) iterations on EVERY block — a
+    5-20x waste when candidate counts are skewed (incoherent bounce waves).
+    Here each stage runs until at most half the blocks remain active, then
+    compacts the active blocks to the front and continues on a HALF-SIZE
+    slice (static shapes throughout; the stage count is log2(B) unrolled at
+    trace time). Total sweep work approaches sum(n_cand) instead of
+    B * max(n_cand).
+
+    block_arrays: per-block inputs permuted alongside the carry.
+    carry: per-block result accumulators.
+    sweep_update(k, block_arrays_slice, carry_slice) -> carry_slice
+    active_fn(k, block_arrays_slice, carry_slice) -> [size] bool
+    Returns (carry, blk_index) where blk_index[i] = original position of the
+    block now at position i.
+    """
+    nb = block_arrays[0].shape[0]
+    blk_index = jnp.arange(nb, dtype=jnp.int32)
+    full = tuple(block_arrays) + tuple(carry) + (blk_index,)
+    n_in = len(block_arrays)
+    n_carry = len(carry)
+
+    size = nb
+    k0 = jnp.int32(0)
+    while True:
+        sl = tuple(a[:size] for a in full)
+        blocks_sl = sl[:n_in]
+        carry_sl = sl[n_in:n_in + n_carry]
+
+        last_stage = size // 2 < min_blocks
+        threshold = 0 if last_stage else size // 2
+
+        def cond(state):
+            k = state[0]
+            c = state[1:]
+            act = active_fn(k, blocks_sl, c)
+            return jnp.sum(act) > threshold
+
+        def body(state):
+            k = state[0]
+            c = state[1:]
+            c = sweep_update(k, blocks_sl, c)
+            return (k + 1,) + tuple(c)
+
+        out = jax.lax.while_loop(cond, body, (k0,) + tuple(carry_sl))
+        k0 = out[0]
+        carry_sl = out[1:]
+
+        # write results back into the full arrays
+        full = list(full)
+        for i in range(n_carry):
+            full[n_in + i] = full[n_in + i].at[:size].set(carry_sl[i])
+        full = tuple(full)
+
+        if last_stage:
+            break
+
+        # compact still-active blocks to the front of the slice
+        act = active_fn(k0, blocks_sl, carry_sl)
+        perm = jnp.argsort(~act, stable=True).astype(jnp.int32)
+        full = tuple(a.at[:size].set(a[:size][perm]) for a in full)
+        size //= 2
+
+    carry_out = full[n_in:n_in + n_carry]
+    blk_index = full[-1]
+    return carry_out, blk_index
+
+
+def _unpermute_blocks(arr, blk_index):
+    """arr[i] holds the result for original block blk_index[i]; invert."""
+    inv = jnp.argsort(blk_index).astype(jnp.int32)
+    return arr[inv]
 
 
 @partial(jax.jit, static_argnames=("block_size", "sort"))
@@ -158,40 +263,52 @@ def closest_hit_packets(
     d_blk = directions.reshape(nb, block_size, 3)
     tmax_blk = t_max.reshape(nb, block_size)
 
-    order, n_cand = _block_candidates(accel, o_blk, d_blk, tmax_blk)
-    k_max = jnp.max(n_cand)
+    order, n_cand, entry_sorted = _block_candidates(accel, o_blk, d_blk, tmax_blk)
+    c_minus_1 = accel.num_clusters - 1
 
-    def body(state):
-        k, best_t, best_id = state
-        cid = order[:, k]                       # [B] cluster per block
-        blk_on = (k < n_cand)                   # [B]
-        cv0 = accel.v0[cid]                     # [B, S, 3]
+    def active_fn(k, blocks, carry):
+        # Front-to-back early termination (the BVH-descent pruning analog):
+        # once the next candidate's conservative entry distance exceeds every
+        # member ray's current best hit, no later candidate can improve the
+        # block — candidates are entry-sorted.
+        _, _, _, nc, ent = blocks[:5]
+        best_t = carry[0]
+        entry_k = ent[:, jnp.minimum(k, c_minus_1)]
+        return (k < nc) & (entry_k <= jnp.max(best_t, axis=1))
+
+    def sweep_update(k, blocks, carry):
+        ob, db, tb, nc, ent, orda = blocks
+        best_t, best_id = carry
+        cid = orda[:, jnp.minimum(k, c_minus_1)]
+        blk_on = (k < nc)
+        cv0 = accel.v0[cid]
         ce1 = accel.e1[cid]
         ce2 = accel.e2[cid]
-        cti = accel.tri_id[cid]                 # [B, S]
+        cti = accel.tri_id[cid]
 
         # tMax shrink-pruning: current best t bounds the sweep (bvh.hpp:91).
-        t_cap = jnp.minimum(tmax_blk, best_t)
-        t, _ = _mt_sweep(o_blk, d_blk, cv0, ce1, ce2, t_min, t_cap)
-        ct = jnp.min(t, axis=-1)                # [B, R]
+        t_cap = jnp.minimum(tb, best_t)
+        t, _ = _mt_sweep(ob, db, cv0, ce1, ce2, t_min, t_cap)
+        ct = jnp.min(t, axis=-1)
         slot = jnp.argmin(t, axis=-1)           # first-min tie rule
-        gid = jnp.take_along_axis(cti, slot.reshape(nb, -1), axis=1).reshape(ct.shape)
+        gid = jnp.take_along_axis(cti, slot, axis=1)
 
         closer = blk_on[:, None] & (ct < best_t)
         best_t = jnp.where(closer, ct, best_t)
         best_id = jnp.where(closer, gid, best_id)
-        return k + 1, best_t, best_id
+        return best_t, best_id
 
-    def cond(state):
-        k, _, _ = state
-        return k < k_max
-
-    init = (
-        jnp.int32(0),
-        jnp.full((nb, block_size), jnp.inf, jnp.float32),
-        jnp.full((nb, block_size), -1, jnp.int32),
+    carry, blk_index = _cascade_traverse(
+        (o_blk, d_blk, tmax_blk, n_cand, entry_sorted, order),
+        (
+            jnp.full((nb, block_size), jnp.inf, jnp.float32),
+            jnp.full((nb, block_size), -1, jnp.int32),
+        ),
+        sweep_update,
+        active_fn,
     )
-    _, best_t, best_id = jax.lax.while_loop(cond, body, init)
+    best_t = _unpermute_blocks(carry[0], blk_index)
+    best_id = _unpermute_blocks(carry[1], blk_index)
 
     t_out = best_t.reshape(n)
     id_out = best_id.reshape(n)
@@ -230,27 +347,33 @@ def any_hit_packets(
     d_blk = directions.reshape(nb, block_size, 3)
     tmax_blk = t_max.reshape(nb, block_size)
 
-    order, n_cand = _block_candidates(accel, o_blk, d_blk, tmax_blk)
-    k_max = jnp.max(n_cand)
+    order, n_cand, _entry = _block_candidates(accel, o_blk, d_blk, tmax_blk)
+    c_minus_1 = accel.num_clusters - 1
 
-    def body(state):
-        k, occ = state
-        cid = order[:, k]
-        blk_on = (k < n_cand) & ~jnp.all(occ, axis=1)
+    def active_fn(k, blocks, carry):
+        nc = blocks[3]
+        occ = carry[0]
+        return (k < nc) & ~jnp.all(occ, axis=1)
+
+    def sweep_update(k, blocks, carry):
+        ob, db, tb, nc, orda = blocks
+        (occ,) = carry
+        cid = orda[:, jnp.minimum(k, c_minus_1)]
+        blk_on = (k < nc) & ~jnp.all(occ, axis=1)
         cv0 = accel.v0[cid]
         ce1 = accel.e1[cid]
         ce2 = accel.e2[cid]
-        _, ok = _mt_sweep(o_blk, d_blk, cv0, ce1, ce2, t_min, tmax_blk)
+        _, ok = _mt_sweep(ob, db, cv0, ce1, ce2, t_min, tb)
         occ = occ | (blk_on[:, None] & jnp.any(ok, axis=-1))
-        return k + 1, occ
+        return (occ,)
 
-    def cond(state):
-        k, occ = state
-        return (k < k_max) & ~jnp.all(occ)
-
-    _, occluded = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.zeros((nb, block_size), bool))
+    carry, blk_index = _cascade_traverse(
+        (o_blk, d_blk, tmax_blk, n_cand, order),
+        (jnp.zeros((nb, block_size), bool),),
+        sweep_update,
+        active_fn,
     )
+    occluded = _unpermute_blocks(carry[0], blk_index)
     out = occluded.reshape(n)
     if sort:
         inv = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))

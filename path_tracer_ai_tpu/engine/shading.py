@@ -84,15 +84,25 @@ def direct_lighting(
     n_lanes = position.shape[0]
     n_lights = lights.position.shape[0]
 
+    # Inactive lanes (missed rays) carry position = inf, which would turn
+    # into NaN shadow directions and poison the traversal's sort/cull (a NaN
+    # block conservatively matches EVERY cluster). Pin them to a degenerate
+    # no-op query: origin 0, +x direction, t_max < t_min.
+    position = jnp.where(active[..., None], position, 0.0)
+    normal = jnp.where(active[..., None], normal, 0.0)
+
     lp = lights.position[:, None, :]                      # [L,1,3]
     lvec = lp - position[None, :, :]                      # [L,N,3]
     dist = vec.length(lvec)                               # [L,N]
     too_close = dist < LIGHT_MIN_DIST                     # (renderer.hpp:263)
-    ldir = lvec / jnp.maximum(dist, 1e-30)[..., None]
+    unit_x = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+    ldir = jnp.where(
+        active[None, :, None], lvec / jnp.maximum(dist, 1e-30)[..., None], unit_x
+    )
 
     shadow_origin = position + normal * RAY_EPS           # [N,3]
     so = jnp.broadcast_to(shadow_origin[None], (n_lights, n_lanes, 3))
-    t_max = dist - RAY_EPS                                # (renderer.hpp:275)
+    t_max = jnp.where(active[None], dist - RAY_EPS, -1.0)  # (renderer.hpp:275)
 
     occluded = occlude_fn(
         so.reshape(-1, 3), ldir.reshape(-1, 3), t_max.reshape(-1)

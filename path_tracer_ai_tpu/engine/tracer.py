@@ -52,7 +52,10 @@ def trace_paths(
     def body(depth, state):
         o, d, beta, radiance, alive, n_closest, n_shadow = state
 
-        ch = closest_fn(o, d, RAY_TMIN, jnp.inf)
+        # Dead lanes keep finite-but-stale rays; cap their t_max below t_min
+        # so the traversal backends can terminate their blocks immediately.
+        lane_tmax = jnp.where(alive, jnp.inf, -1.0)
+        ch = closest_fn(o, d, RAY_TMIN, lane_tmax)
         safe_tri = jnp.maximum(ch.tri, 0)  # packet backend uses -1 for miss
         attrs = intersect.hit_attributes(tris, o, d, ch.t, safe_tri)
         active = alive & ch.hit
