@@ -236,7 +236,7 @@ def _unpermute_blocks(arr, blk_index):
     return arr[inv]
 
 
-@partial(jax.jit, static_argnames=("block_size", "sort"))
+@partial(jax.jit, static_argnames=("block_size", "sort", "group_size"))
 def closest_hit_packets(
     accel: ClusterAccel,
     origins: jnp.ndarray,     # [N,3]; N must be a multiple of block_size
@@ -245,6 +245,7 @@ def closest_hit_packets(
     t_max,                    # scalar or [N]
     block_size: int = 256,
     sort: bool = True,
+    group_size: int = 8,
 ) -> PacketHit:
     n = origins.shape[0]
     assert n % block_size == 0, f"wave size {n} not a multiple of {block_size}"
@@ -264,27 +265,44 @@ def closest_hit_packets(
     tmax_blk = t_max.reshape(nb, block_size)
 
     order, n_cand, entry_sorted = _block_candidates(accel, o_blk, d_blk, tmax_blk)
-    c_minus_1 = accel.num_clusters - 1
+    # Each loop iteration consumes a GROUP of `group_size` candidates per
+    # block (gathered and swept together): TPU while_loop iterations carry a
+    # fixed scheduling overhead, so iteration count — bounded by the worst
+    # block's candidate count — must be divided down, not just the work.
+    g = group_size
+    c = accel.num_clusters
+    c_pad = -(-c // g) * g
+    pad_cols = c_pad - c
+    if pad_cols:
+        # padding candidates point at cluster 0 but are masked by n_cand
+        order = jnp.pad(order, ((0, 0), (0, pad_cols)))
+        entry_sorted = jnp.pad(entry_sorted, ((0, 0), (0, pad_cols)),
+                               constant_values=jnp.inf)
+    order_g = order.reshape(nb, c_pad // g, g)
+    max_k = c_pad // g - 1
 
     def active_fn(k, blocks, carry):
         # Front-to-back early termination (the BVH-descent pruning analog):
-        # once the next candidate's conservative entry distance exceeds every
-        # member ray's current best hit, no later candidate can improve the
+        # once the next candidate group's conservative entry distance exceeds
+        # every member ray's current best hit, no later group can improve the
         # block — candidates are entry-sorted.
         _, _, _, nc, ent = blocks[:5]
         best_t = carry[0]
-        entry_k = ent[:, jnp.minimum(k, c_minus_1)]
-        return (k < nc) & (entry_k <= jnp.max(best_t, axis=1))
+        kk = jnp.minimum(k, max_k)
+        entry_k = ent[:, kk * g]
+        return (k * g < nc) & (entry_k <= jnp.max(best_t, axis=1))
 
     def sweep_update(k, blocks, carry):
-        ob, db, tb, nc, ent, orda = blocks
+        ob, db, tb, nc, ent, ordg = blocks
         best_t, best_id = carry
-        cid = orda[:, jnp.minimum(k, c_minus_1)]
-        blk_on = (k < nc)
-        cv0 = accel.v0[cid]
-        ce1 = accel.e1[cid]
-        ce2 = accel.e2[cid]
-        cti = accel.tri_id[cid]
+        size = ob.shape[0]
+        kk = jnp.minimum(k, max_k)
+        cid = ordg[:, kk]                        # [size, g]
+        blk_on = (k * g < nc)
+        cv0 = accel.v0[cid].reshape(size, -1, 3)   # [size, g*S, 3]
+        ce1 = accel.e1[cid].reshape(size, -1, 3)
+        ce2 = accel.e2[cid].reshape(size, -1, 3)
+        cti = accel.tri_id[cid].reshape(size, -1)  # [size, g*S]
 
         # tMax shrink-pruning: current best t bounds the sweep (bvh.hpp:91).
         t_cap = jnp.minimum(tb, best_t)
@@ -299,7 +317,7 @@ def closest_hit_packets(
         return best_t, best_id
 
     carry, blk_index = _cascade_traverse(
-        (o_blk, d_blk, tmax_blk, n_cand, entry_sorted, order),
+        (o_blk, d_blk, tmax_blk, n_cand, entry_sorted, order_g),
         (
             jnp.full((nb, block_size), jnp.inf, jnp.float32),
             jnp.full((nb, block_size), -1, jnp.int32),
@@ -319,7 +337,7 @@ def closest_hit_packets(
     return PacketHit(hit=jnp.isfinite(t_out), t=t_out, tri=id_out)
 
 
-@partial(jax.jit, static_argnames=("block_size", "sort"))
+@partial(jax.jit, static_argnames=("block_size", "sort", "group_size"))
 def any_hit_packets(
     accel: ClusterAccel,
     origins: jnp.ndarray,
@@ -328,6 +346,7 @@ def any_hit_packets(
     t_max,
     block_size: int = 256,
     sort: bool = True,
+    group_size: int = 8,
 ) -> jnp.ndarray:
     """Occlusion query over a wave; early-exits once every lane is resolved."""
     n = origins.shape[0]
@@ -348,27 +367,34 @@ def any_hit_packets(
     tmax_blk = t_max.reshape(nb, block_size)
 
     order, n_cand, _entry = _block_candidates(accel, o_blk, d_blk, tmax_blk)
-    c_minus_1 = accel.num_clusters - 1
+    g = group_size
+    c = accel.num_clusters
+    c_pad = -(-c // g) * g
+    if c_pad - c:
+        order = jnp.pad(order, ((0, 0), (0, c_pad - c)))
+    order_g = order.reshape(nb, c_pad // g, g)
+    max_k = c_pad // g - 1
 
     def active_fn(k, blocks, carry):
         nc = blocks[3]
         occ = carry[0]
-        return (k < nc) & ~jnp.all(occ, axis=1)
+        return (k * g < nc) & ~jnp.all(occ, axis=1)
 
     def sweep_update(k, blocks, carry):
-        ob, db, tb, nc, orda = blocks
+        ob, db, tb, nc, ordg = blocks
         (occ,) = carry
-        cid = orda[:, jnp.minimum(k, c_minus_1)]
-        blk_on = (k < nc) & ~jnp.all(occ, axis=1)
-        cv0 = accel.v0[cid]
-        ce1 = accel.e1[cid]
-        ce2 = accel.e2[cid]
+        size = ob.shape[0]
+        cid = ordg[:, jnp.minimum(k, max_k)]        # [size, g]
+        blk_on = (k * g < nc) & ~jnp.all(occ, axis=1)
+        cv0 = accel.v0[cid].reshape(size, -1, 3)
+        ce1 = accel.e1[cid].reshape(size, -1, 3)
+        ce2 = accel.e2[cid].reshape(size, -1, 3)
         _, ok = _mt_sweep(ob, db, cv0, ce1, ce2, t_min, tb)
         occ = occ | (blk_on[:, None] & jnp.any(ok, axis=-1))
         return (occ,)
 
     carry, blk_index = _cascade_traverse(
-        (o_blk, d_blk, tmax_blk, n_cand, order),
+        (o_blk, d_blk, tmax_blk, n_cand, order_g),
         (jnp.zeros((nb, block_size), bool),),
         sweep_update,
         active_fn,
