@@ -285,12 +285,14 @@ def closest_hit_packets(
         # Front-to-back early termination (the BVH-descent pruning analog):
         # once the next candidate group's conservative entry distance exceeds
         # every member ray's current best hit, no later group can improve the
-        # block — candidates are entry-sorted.
-        _, _, _, nc, ent = blocks[:5]
+        # block — candidates are entry-sorted. Dead lanes (t_max < 0) can
+        # never hit and must not gate termination with their inf best.
+        _, _, tb, nc, ent = blocks[:5]
         best_t = carry[0]
+        best_eff = jnp.where(tb < 0.0, -jnp.inf, best_t)
         kk = jnp.minimum(k, max_k)
         entry_k = ent[:, kk * g]
-        return (k * g < nc) & (entry_k <= jnp.max(best_t, axis=1))
+        return (k * g < nc) & (entry_k <= jnp.max(best_eff, axis=1))
 
     def sweep_update(k, blocks, carry):
         ob, db, tb, nc, ent, ordg = blocks

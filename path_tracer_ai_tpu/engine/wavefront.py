@@ -48,8 +48,37 @@ from path_tracer_ai_tpu.utils.logging import get_logger, render_banner
 log = get_logger(__name__)
 
 
-def packet_backend(accel: ClusterAccel, block_size: int = 256):
-    """Traversal backend over the cluster structure."""
+def packet_backend(
+    accel: ClusterAccel,
+    block_size: int = 256,
+    use_pallas: bool = False,
+    interpret: bool = False,
+):
+    """Traversal backend over the cluster structure.
+
+    use_pallas=True selects the fused Pallas sweep kernels
+    (accel.pallas_sweep) — the production TPU path; False selects the pure
+    XLA cascade (accel.traverse) — the portable fallback and oracle for the
+    kernels.
+    """
+    if use_pallas:
+        from path_tracer_ai_tpu.accel import pallas_sweep
+
+        slab = pallas_sweep.build_slab_table(accel)
+
+        def closest(o, d, t_min, t_max):
+            return pallas_sweep.closest_hit_pallas(
+                accel, slab, o, d, RAY_TMIN, t_max,
+                block_size=block_size, interpret=interpret,
+            )
+
+        def occlude(o, d, t_max):
+            return pallas_sweep.any_hit_pallas(
+                accel, slab, o, d, RAY_TMIN, t_max,
+                block_size=block_size, interpret=interpret,
+            )
+
+        return closest, occlude
 
     def closest(o, d, t_min, t_max):
         return traverse.closest_hit_packets(
@@ -64,23 +93,32 @@ def packet_backend(accel: ClusterAccel, block_size: int = 256):
     return closest, occlude
 
 
+def default_use_pallas() -> bool:
+    """Pallas kernels compile on TPU backends; fall back to XLA elsewhere."""
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # noqa: BLE001
+        return False
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "w", "h", "sc", "pix_chunk", "lanes_padded",
-        "block_size", "max_bounces", "aspect",
+        "block_size", "max_bounces", "aspect", "use_pallas",
     ),
 )
 def _render_wave(
     scene, accel, camera, base_key, xs, ys, s0, spp,
     *, w, h, sc, pix_chunk, lanes_padded, block_size, max_bounces, aspect,
+    use_pallas=False,
 ):
     """One wave: `pix_chunk` pixels x `sc` consecutive samples.
 
     Top-level jit with static shape params so the compiled executable is
     cached ACROSS render() calls (scene/camera/key are traced operands).
     """
-    closest, occlude = packet_backend(accel, block_size)
+    closest, occlude = packet_backend(accel, block_size, use_pallas=use_pallas)
     n_lanes = pix_chunk * sc
 
     pix_idx = (ys * w + xs).astype(jnp.int32)              # [P]
@@ -147,6 +185,7 @@ def render(
     tile_devices: Optional[int] = None,
     show_progress: bool = False,
     stats: Optional[RenderStats] = None,
+    use_pallas: Optional[bool] = None,
 ) -> np.ndarray:
     """Full-frame wavefront render -> linear [H, W, 3] float32."""
     if tile_devices:
@@ -180,12 +219,16 @@ def render(
     # Pad lanes to traversal block granularity.
     lanes_padded = -(-n_lanes // block_size) * block_size
 
+    if use_pallas is None:
+        use_pallas = default_use_pallas()
+
     def render_wave(xs, ys, s0):
         return _render_wave(
             scene, accel, camera, base_key, xs, ys, s0, spp,
             w=w, h=h, sc=sc, pix_chunk=pix_chunk,
             lanes_padded=lanes_padded, block_size=block_size,
             max_bounces=settings.max_bounces, aspect=aspect,
+            use_pallas=use_pallas,
         )
 
     ys_all, xs_all = np.mgrid[0:h, 0:w]

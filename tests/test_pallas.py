@@ -1,0 +1,110 @@
+"""Pallas sweep kernels: exactness vs brute force (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from path_tracer_ai_tpu.accel.clusters import build_clusters
+from path_tracer_ai_tpu.accel.pallas_sweep import (
+    any_hit_pallas,
+    build_slab_table,
+    closest_hit_pallas,
+)
+from path_tracer_ai_tpu.core.types import triangles_from_numpy
+from path_tracer_ai_tpu.engine.intersect import any_hit, closest_hit
+
+
+def random_soup(rng, t, spread=4.0, size=0.6):
+    base = rng.uniform(-spread, spread, (t, 3)).astype(np.float32)
+    v0 = base
+    v1 = base + rng.uniform(-size, size, (t, 3)).astype(np.float32)
+    v2 = base + rng.uniform(-size, size, (t, 3)).astype(np.float32)
+    n = np.tile([[0, 1, 0]], (t, 1)).astype(np.float32)
+    uv = np.zeros((t, 2), np.float32)
+    return triangles_from_numpy(v0, v1, v2, n, n, n, uv, uv, uv,
+                                np.zeros(t, np.int32))
+
+
+@pytest.fixture(scope="module")
+def setup(rng_mod=np.random.default_rng(7)):
+    tris = random_soup(rng_mod, 450)
+    accel = build_clusters(tris, cluster_size=128)
+    slab = build_slab_table(accel)
+    return tris, accel, slab
+
+
+def rays(rng, n, spread=6.0):
+    o = rng.uniform(-spread, spread, (n, 3)).astype(np.float32)
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_closest_matches_bruteforce(setup, rng):
+    tris, accel, slab = setup
+    o, d = rays(rng, 256)
+    ph = closest_hit_pallas(accel, slab, o, d, 1e-3, np.inf,
+                            block_size=64, interpret=True)
+    bh = closest_hit(tris, o, d, 1e-3, np.inf)
+    m = np.asarray(bh.hit)
+    np.testing.assert_array_equal(np.asarray(ph.hit), m)
+    np.testing.assert_allclose(np.asarray(ph.t)[m], np.asarray(bh.t)[m], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ph.tri)[m], np.asarray(bh.tri)[m])
+
+
+def test_closest_with_dead_lanes(setup, rng):
+    """Per-lane t_max < t_min lanes (dead) must return misses and must not
+    stall their block's early termination."""
+    tris, accel, slab = setup
+    o, d = rays(rng, 128)
+    tmax = np.full(128, np.inf, np.float32)
+    tmax[::3] = -1.0
+    ph = closest_hit_pallas(accel, slab, o, d, 1e-3, jnp.asarray(tmax),
+                            block_size=64, interpret=True)
+    assert not np.asarray(ph.hit)[::3].any()
+    bh = closest_hit(tris, o, d, 1e-3, np.inf)
+    alive = np.ones(128, bool)
+    alive[::3] = False
+    m = np.asarray(bh.hit) & alive
+    np.testing.assert_allclose(np.asarray(ph.t)[m], np.asarray(bh.t)[m], rtol=1e-5)
+
+
+def test_anyhit_matches_bruteforce(setup, rng):
+    tris, accel, slab = setup
+    o, d = rays(rng, 128)
+    tmax = jnp.asarray(rng.uniform(0.3, 12.0, 128).astype(np.float32))
+    pa = any_hit_pallas(accel, slab, o, d, 1e-3, tmax, block_size=64,
+                        interpret=True)
+    ba = any_hit(tris, o, d, 1e-3, tmax)
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(ba))
+
+
+def test_wavefront_render_with_pallas_backend(rng):
+    """Full render through the Pallas backend (interpret) == XLA backend."""
+    from path_tracer_ai_tpu.config import RenderSettings
+    from path_tracer_ai_tpu.engine import wavefront
+    from path_tracer_ai_tpu.scene.cornell import build_cornell_scene
+
+    scene, camera = build_cornell_scene()
+    s = RenderSettings(width=24, height=24, samples_per_pixel=4,
+                       max_bounces=3, seed=2)
+    accel = build_clusters(scene.triangles, cluster_size=128)
+    img_x = wavefront.render(scene, camera, s, accel=accel,
+                             wave_size=24 * 24, block_size=64, use_pallas=False)
+    from path_tracer_ai_tpu.engine.wavefront import packet_backend
+
+    # interpret-mode pallas backend plugged in via the same machinery
+    import functools
+    import path_tracer_ai_tpu.engine.wavefront as wf
+
+    orig = wf.packet_backend
+    try:
+        wf.packet_backend = functools.partial(orig, interpret=True)
+        wf._render_wave._clear_cache()
+        img_p = wavefront.render(scene, camera, s, accel=accel,
+                                 wave_size=24 * 24, block_size=64,
+                                 use_pallas=True)
+    finally:
+        wf.packet_backend = orig
+        wf._render_wave._clear_cache()
+    np.testing.assert_allclose(img_x, img_p, atol=1e-5)
