@@ -85,12 +85,12 @@ def _closest_kernel(
     dz = rays_ref[0, 5, :][:, None]
     t_cap = rays_ref[0, 6, :][:, None]  # [R, 1]
 
-    best_t_ref[0, :] = jnp.full_like(best_t_ref[0, :], jnp.inf)
-    best_cid_ref[0, :] = jnp.full_like(best_cid_ref[0, :], -1)
-    best_slot_ref[0, :] = jnp.zeros_like(best_slot_ref[0, :])
+    best_t_ref[0, 0, :] = jnp.full_like(best_t_ref[0, 0, :], jnp.inf)
+    best_cid_ref[0, 0, :] = jnp.full_like(best_cid_ref[0, 0, :], -1)
+    best_slot_ref[0, 0, :] = jnp.zeros_like(best_slot_ref[0, 0, :])
 
     def dma(slot, k):
-        cid = order_ref[0, k]
+        cid = order_ref[0, 0, k]
         return pltpu.make_async_copy(
             tri_hbm.at[cid], slab_ref.at[slot], sem.at[slot]
         )
@@ -103,9 +103,9 @@ def _closest_kernel(
             k, _ = state
             # Front-to-back termination: sorted entry bound vs best hits.
             # Dead lanes (t_cap < 0) can never hit and must not gate it.
-            best_eff = jnp.where(t_cap[:, 0] < 0.0, -jnp.inf, best_t_ref[0, :])
+            best_eff = jnp.where(t_cap[:, 0] < 0.0, -jnp.inf, best_t_ref[0, 0, :])
             best_max = jnp.max(best_eff)
-            return (k < n_i) & (entry_ref[0, jnp.minimum(k, n_i - 1)] <= best_max)
+            return (k < n_i) & (entry_ref[0, 0, jnp.minimum(k, n_i - 1)] <= best_max)
 
         def body(state):
             k, _ = state
@@ -143,18 +143,18 @@ def _closest_kernel(
             qz = sx * e1y - sy * e1x
             v = f * (dx * qx + dy * qy + dz * qz)
             t = f * (e2x * qx + e2y * qy + e2z * qz)
-            bt = best_t_ref[0, :][:, None]
+            bt = best_t_ref[0, 0, :][:, None]
             ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
             ok &= (t >= t_min) & (t <= t_cap) & (t < bt)
             t = jnp.where(ok, t, jnp.inf)
 
             ct = jnp.min(t, axis=1)           # [R]
             slot_idx = jnp.argmin(t, axis=1).astype(jnp.int32)
-            closer = ct < best_t_ref[0, :]
-            cid = order_ref[0, k]
-            best_cid_ref[0, :] = jnp.where(closer, cid, best_cid_ref[0, :])
-            best_slot_ref[0, :] = jnp.where(closer, slot_idx, best_slot_ref[0, :])
-            best_t_ref[0, :] = jnp.where(closer, ct, best_t_ref[0, :])
+            closer = ct < best_t_ref[0, 0, :]
+            cid = order_ref[0, 0, k]
+            best_cid_ref[0, 0, :] = jnp.where(closer, cid, best_cid_ref[0, 0, :])
+            best_slot_ref[0, 0, :] = jnp.where(closer, slot_idx, best_slot_ref[0, 0, :])
+            best_t_ref[0, 0, :] = jnp.where(closer, ct, best_t_ref[0, 0, :])
             return k + 1, 0
 
         jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
@@ -183,16 +183,16 @@ def closest_sweep_pallas(
         in_specs=[
             pl.BlockSpec((1, 8, r), lambda i, nc: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, order.shape[1]), lambda i, nc: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, entry.shape[1]), lambda i, nc: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, order.shape[1]), lambda i, nc: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, entry.shape[1]), lambda i, nc: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # tri table stays in HBM
         ],
         out_specs=[
-            pl.BlockSpec((1, r), lambda i, nc: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r), lambda i, nc: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r), lambda i, nc: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, r), lambda i, nc: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, r), lambda i, nc: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, r), lambda i, nc: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, 9, s), jnp.float32),
@@ -204,14 +204,14 @@ def closest_sweep_pallas(
     best_t, best_cid, best_slot = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((b, r), jnp.float32),
-            jax.ShapeDtypeStruct((b, r), jnp.int32),
-            jax.ShapeDtypeStruct((b, r), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, r), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, r), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, r), jnp.int32),
         ],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(n_cand, rays_packed, order, entry, slab.tri)
-    return best_t, best_cid, best_slot
+    )(n_cand, rays_packed, order[:, None, :], entry[:, None, :], slab.tri)
+    return best_t[:, 0], best_cid[:, 0], best_slot[:, 0]
 
 
 def _anyhit_kernel(
@@ -237,10 +237,10 @@ def _anyhit_kernel(
     dz = rays_ref[0, 5, :][:, None]
     t_cap = rays_ref[0, 6, :][:, None]
 
-    occ_ref[0, :] = jnp.zeros_like(occ_ref[0, :])
+    occ_ref[0, 0, :] = jnp.zeros_like(occ_ref[0, 0, :])
 
     def dma(slot, k):
-        cid = order_ref[0, k]
+        cid = order_ref[0, 0, k]
         return pltpu.make_async_copy(
             tri_hbm.at[cid], slab_ref.at[slot], sem.at[slot]
         )
@@ -252,7 +252,7 @@ def _anyhit_kernel(
         def cond(state):
             k, _ = state
             # stop when every lane is occluded (any-hit early exit)
-            return (k < n_i) & (jnp.min(occ_ref[0, :]) == 0)
+            return (k < n_i) & (jnp.min(occ_ref[0, 0, :]) == 0)
 
         def body(state):
             k, _ = state
@@ -293,7 +293,7 @@ def _anyhit_kernel(
             ok &= (t >= t_min) & (t <= t_cap)
 
             hit = jnp.any(ok, axis=1).astype(occ_ref.dtype)  # [R]
-            occ_ref[0, :] = jnp.maximum(occ_ref[0, :], hit)
+            occ_ref[0, 0, :] = jnp.maximum(occ_ref[0, 0, :], hit)
             return k + 1, 0
 
         jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
@@ -315,12 +315,12 @@ def anyhit_sweep_pallas(
         in_specs=[
             pl.BlockSpec((1, 8, r), lambda i, nc: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, order.shape[1]), lambda i, nc: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, order.shape[1]), lambda i, nc: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, r), lambda i, nc: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, r), lambda i, nc: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, 9, slab.tri.shape[2]), jnp.float32),
@@ -330,11 +330,11 @@ def anyhit_sweep_pallas(
     kernel = functools.partial(_anyhit_kernel, t_min=t_min, s=slab.tri.shape[2])
     (occ,) = pl.pallas_call(
         kernel,
-        out_shape=[jax.ShapeDtypeStruct((b, r), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((b, 1, r), jnp.int32)],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(n_cand, rays_packed, order, slab.tri)
-    return occ > 0
+    )(n_cand, rays_packed, order[:, None, :], slab.tri)
+    return occ[:, 0] > 0
 
 
 # ---------------------------------------------------------------------------

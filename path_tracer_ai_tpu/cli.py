@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint every N sample-passes (0 = only at end)")
     p.add_argument("--tile-devices", type=int, default=0,
                    help="shard the framebuffer across N devices (0 = single device)")
+    p.add_argument("--validate", action="store_true",
+                   help="audit the final image for NaN/Inf/sentinel pixels")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the render into DIR")
     return p
 
 
@@ -85,6 +89,13 @@ def main(argv=None) -> int:
 
     camera = default_camera()
 
+    profile_ctx = None
+    if args.profile:
+        from path_tracer_ai_tpu.utils.profiling import trace
+
+        profile_ctx = trace(args.profile)
+        profile_ctx.__enter__()
+
     start = time.perf_counter()
     if args.mode == "cpu":
         from path_tracer_ai_tpu.engine import oracle
@@ -111,6 +122,14 @@ def main(argv=None) -> int:
             image = oracle.render(scene, camera, settings, show_progress=True)
     elapsed = time.perf_counter() - start
     log.info("Rendering completed in %.3f seconds", elapsed)
+
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+    if args.validate:
+        from path_tracer_ai_tpu.utils.debug import validate_image
+
+        audit = validate_image(image)
+        log.info("Image audit: %s", audit)
 
     save_image(args.output, image, settings.gamma)
     return 0
