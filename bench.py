@@ -29,7 +29,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
-    ap.add_argument("--spp", type=int, default=4)
+    ap.add_argument("--spp", type=int, default=2)
     ap.add_argument("--bounces", type=int, default=5)
     ap.add_argument("--subdiv", type=int, default=6)  # 20*4^6 = 81920 tris
     ap.add_argument("--quick", action="store_true", help="tiny config for smoke")
@@ -70,12 +70,13 @@ def main():
     sc = max(1, min((1 << 17) // min(npix, 1 << 17), args.spp))
     warm = settings.replace(samples_per_pixel=sc)
     t0 = time.perf_counter()
-    wavefront.render(scene, camera, warm, accel=accel)
+    wavefront.render(scene, camera, warm, accel=accel, block_size=64)
     log(f"warmup (compile) pass: {time.perf_counter() - t0:.1f}s")
 
     stats = wavefront.RenderStats()
     t0 = time.perf_counter()
-    img = wavefront.render(scene, camera, settings, accel=accel, stats=stats)
+    img = wavefront.render(scene, camera, settings, accel=accel, stats=stats,
+                           block_size=64)
     wall = time.perf_counter() - t0
     log(
         f"render {args.width}x{args.height}@{args.spp}spp/{args.bounces}b: "

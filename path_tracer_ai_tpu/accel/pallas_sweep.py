@@ -157,7 +157,14 @@ def _closest_kernel(
             best_t_ref[0, 0, :] = jnp.where(closer, ct, best_t_ref[0, 0, :])
             return k + 1, 0
 
-        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+        k_final, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+
+        # Drain the in-flight prefetch when the loop exits early (front-to-
+        # back termination): iteration k-1 started the DMA for k; leaving its
+        # semaphore signaled would corrupt the next grid step.
+        @pl.when(k_final < n_i)
+        def _():
+            dma(jax.lax.rem(k_final, 2), k_final).wait()
 
 
 @functools.partial(
@@ -296,7 +303,12 @@ def _anyhit_kernel(
             occ_ref[0, 0, :] = jnp.maximum(occ_ref[0, 0, :], hit)
             return k + 1, 0
 
-        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+        k_final, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+
+        # Drain the in-flight prefetch on early exit (all lanes occluded).
+        @pl.when(k_final < n_i)
+        def _():
+            dma(jax.lax.rem(k_final, 2), k_final).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("t_min", "interpret"))

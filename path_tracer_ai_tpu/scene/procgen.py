@@ -40,29 +40,28 @@ def icosahedron():
 
 
 def icosphere(subdivisions: int):
-    """Subdivided unit icosphere: 20 * 4^n triangles."""
+    """Subdivided unit icosphere: 20 * 4^n triangles (vectorized build)."""
     v, f = icosahedron()
-    verts = [tuple(x) for x in v]
-    vert_index = {x: i for i, x in enumerate(verts)}
-    faces = f.tolist()
-
-    def midpoint(a, b):
-        m = (np.asarray(verts[a]) + np.asarray(verts[b])) / 2.0
-        m /= np.linalg.norm(m)
-        key = tuple(np.round(m, 12))
-        if key not in vert_index:
-            vert_index[key] = len(verts)
-            verts.append(key)
-        return vert_index[key]
-
     for _ in range(subdivisions):
-        new_faces = []
-        for a, b, c in faces:
-            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
-            new_faces += [[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]]
-        faces = new_faces
-
-    return np.asarray(verts, np.float64), np.asarray(faces, np.int64)
+        n_f = f.shape[0]
+        edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+        edges_key = np.sort(edges, axis=1)
+        uniq, inv = np.unique(edges_key, axis=0, return_inverse=True)
+        mid = v[uniq[:, 0]] + v[uniq[:, 1]]
+        mid /= np.linalg.norm(mid, axis=1, keepdims=True)
+        mid_idx = v.shape[0] + np.arange(uniq.shape[0])
+        v = np.concatenate([v, mid])
+        ab = mid_idx[inv[:n_f]]
+        bc = mid_idx[inv[n_f:2 * n_f]]
+        ca = mid_idx[inv[2 * n_f:]]
+        a, b, c = f[:, 0], f[:, 1], f[:, 2]
+        f = np.concatenate([
+            np.stack([a, ab, ca], 1),
+            np.stack([ab, b, bc], 1),
+            np.stack([ca, bc, c], 1),
+            np.stack([ab, bc, ca], 1),
+        ])
+    return v, f
 
 
 def blob_mesh(subdivisions: int = 5, seed: int = 7, bumps: int = 24):
