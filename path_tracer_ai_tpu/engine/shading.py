@@ -102,14 +102,25 @@ def direct_lighting(
 
     shadow_origin = position + normal * RAY_EPS           # [N,3]
     so = jnp.broadcast_to(shadow_origin[None], (n_lights, n_lanes, 3))
-    t_max = jnp.where(active[None], dist - RAY_EPS, -1.0)  # (renderer.hpp:275)
+
+    cos_theta = jnp.maximum(vec.dot(normal[None], ldir), 0.0)   # [L,N]
+    attenuation = lights.intensity[:, None] / (dist * dist)
+
+    # Trace shadow rays only where the contribution can be nonzero: the
+    # reference traces unconditionally (renderer.hpp:274-278), but pairs
+    # with cos <= 0 (light below the surface horizon) and dielectric lanes
+    # (direct term discarded, renderer.hpp:214-246) contribute exactly 0
+    # either way, so skipping them is radiance-identical.
+    contributes = (
+        active[None]
+        & (cos_theta > 0.0)
+        & (mats.mtype != MATERIAL_DIELECTRIC)[None]
+    )
+    t_max = jnp.where(contributes, dist - RAY_EPS, -1.0)  # (renderer.hpp:275)
 
     occluded = occlude_fn(
         so.reshape(-1, 3), ldir.reshape(-1, 3), t_max.reshape(-1)
     ).reshape(n_lights, n_lanes)
-
-    cos_theta = jnp.maximum(vec.dot(normal[None], ldir), 0.0)   # [L,N]
-    attenuation = lights.intensity[:, None] / (dist * dist)
 
     # BRDF per material type (renderer.hpp:283-291).
     brdf_diffuse = mats.albedo / PI                              # [N,3]

@@ -96,10 +96,13 @@ def packet_backend(
 def default_use_pallas() -> bool:
     """Backend default for the traversal kernels.
 
-    The Pallas path is compiled-verified for closest-hit on v5e but the
-    full-wave composition still hits a TPU runtime abort under
-    investigation; keep the XLA cascade as the default until that is
-    resolved (pass use_pallas=True to opt in).
+    Both backends are compiled-verified and agree exactly on v5e. The XLA
+    cascade currently wins on wall-clock (1.56s vs 2.45s per 131k-lane wave
+    on the 82k-tri scene): the Pallas kernels' per-cluster-visit overhead
+    (~5us: DMA wait + loop bookkeeping on small [R,S] tiles) exceeds XLA's
+    pipelined dense-sweep cost. Multi-cluster DMA batching is the known fix
+    (docs/ARCHITECTURE.md); until it lands, default to XLA and let callers
+    opt in with use_pallas=True.
     """
     return False
 
