@@ -363,7 +363,7 @@ def _prep_wave(accel, origins, directions, t_max, block_size, sort):
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     perm = None
     if sort:
-        keys = T._sort_keys(accel, origins, directions)
+        keys = T._sort_keys(accel, origins, directions, t_max)
         perm = jnp.argsort(keys).astype(jnp.int32)
         origins = origins[perm]
         directions = directions[perm]

@@ -41,14 +41,16 @@ class PacketHit(NamedTuple):
     tri: jnp.ndarray     # [N] i32 global triangle index (-1 on miss)
 
 
-def _sort_keys(accel: ClusterAccel, origins, directions):
-    """Coherence key: direction octant (3b) + direction Morton (9b) +
-    origin Morton (18b).
+def _sort_keys(accel: ClusterAccel, origins, directions, t_max=None):
+    """Coherence key: dead bit (1b) + direction octant (3b) + direction
+    Morton (9b) + origin Morton (18b).
 
     Direction bits lead: the conservative block frustum degrades fastest
     with direction spread (a block whose directions span a wide cone sees
     most of the scene), so bounce/shadow waves must be grouped by direction
-    first, position second.
+    first, position second. Dead rays (t_max < t_min, i.e. culled shadow
+    pairs and retired lanes) sort to the end so they pack into all-dead
+    blocks with zero traversal candidates.
     """
     octant = (
         (directions[:, 0] < 0).astype(jnp.uint32) * 4
@@ -58,7 +60,10 @@ def _sort_keys(accel: ClusterAccel, origins, directions):
     ones = jnp.ones((3,), jnp.float32)
     dcell = morton3d(directions, -ones, ones, bits=3)       # 9 bits
     ocell = morton3d(origins, accel.scene_min, accel.scene_max, bits=6)  # 18
-    return (octant << 27) | (dcell << 18) | ocell
+    key = (octant << 27) | (dcell << 18) | ocell
+    if t_max is not None:
+        key = key | ((t_max < 0.0).astype(jnp.uint32) << 31)
+    return key
 
 
 def _block_candidates(accel, o_blk, d_blk, t_max_blk):
@@ -254,7 +259,7 @@ def closest_hit_packets(
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
 
     if sort:
-        keys = _sort_keys(accel, origins, directions)
+        keys = _sort_keys(accel, origins, directions, t_max)
         perm = jnp.argsort(keys).astype(jnp.int32)
         origins = origins[perm]
         directions = directions[perm]
@@ -358,7 +363,7 @@ def any_hit_packets(
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
 
     if sort:
-        keys = _sort_keys(accel, origins, directions)
+        keys = _sort_keys(accel, origins, directions, t_max)
         perm = jnp.argsort(keys).astype(jnp.int32)
         origins = origins[perm]
         directions = directions[perm]
