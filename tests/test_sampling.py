@@ -60,3 +60,21 @@ def test_reproducible():
     a = sampling.uniform_sphere(sampling.bounce_key(base, 2, 1), (4,))
     b = sampling.uniform_sphere(sampling.bounce_key(base, 2, 1), (4,))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_diffuse_estimator_energy_conservation():
+    """Furnace-style check on the reference's diffuse estimator
+    (renderer.hpp:187): under a uniform unit environment, the one-bounce
+    estimator 2*albedo*cos(theta) must average to albedo — i.e. the
+    uniform-hemisphere pdf 1/(2pi) exactly cancels the (albedo/pi)*cos BRDF
+    integral. This is the furnace test adapted to a non-emissive renderer
+    (SURVEY.md §4)."""
+    key = jax.random.key(11)
+    n = 200000
+    normal = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+    d = sampling.uniform_hemisphere(key, normal)
+    albedo = 0.7
+    estimates = 2.0 * albedo * np.asarray(d[:, 2])
+    mean = estimates.mean()
+    se = estimates.std() / np.sqrt(n)
+    assert abs(mean - albedo) < 4 * se + 1e-3, (mean, albedo, se)
