@@ -31,7 +31,6 @@ import jax.numpy as jnp
 
 from path_tracer_ai_tpu.accel.clusters import ClusterAccel
 from path_tracer_ai_tpu.accel.morton import morton3d
-from path_tracer_ai_tpu.core import vec
 from path_tracer_ai_tpu.core.types import MT_EPSILON
 
 

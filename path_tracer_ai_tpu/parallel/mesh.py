@@ -23,7 +23,6 @@ traffic is ICI psum).
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import numpy as np

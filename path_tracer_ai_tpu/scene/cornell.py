@@ -9,8 +9,6 @@ model — it has no emissive geometry, renderer.hpp:252-301).
 
 from __future__ import annotations
 
-import numpy as np
-
 import jax.numpy as jnp
 
 from path_tracer_ai_tpu.core.types import Lights, MATERIAL_DIFFUSE, SceneData

@@ -40,7 +40,7 @@ from path_tracer_ai_tpu.core.types import (
     SceneData,
     TrianglesSoA,
 )
-from path_tracer_ai_tpu.scene.objloader import ObjData, ObjMaterial, load_obj
+from path_tracer_ai_tpu.scene.objloader import ObjMaterial, load_obj
 from path_tracer_ai_tpu.utils.logging import get_logger
 
 log = get_logger(__name__)
