@@ -30,6 +30,60 @@ ClosestFn = Callable[..., object]
 OccludeFn = Callable[..., jnp.ndarray]
 
 
+def bounce_step(
+    scene: SceneData,
+    closest_fn: ClosestFn,
+    occlude_fn: OccludeFn,
+    o, d, beta, radiance, alive, keys, depth,
+):
+    """ONE shading vertex of tracePath for a lane batch.
+
+    `depth` may be a scalar (uniform-depth wave, trace_paths) or a per-lane
+    [N] array (persistent pool, wavefront regeneration) — the RNG stream for
+    a lane depends only on its own (key, depth), so scheduling is invisible
+    to the radiance.
+
+    Returns (o, d, beta, radiance, alive, n_closest, n_shadow).
+    """
+    tris = scene.triangles
+    n_lights = scene.lights.position.shape[0]
+
+    # Dead lanes keep finite-but-stale rays; cap their t_max below t_min
+    # so the traversal backends can terminate their blocks immediately.
+    lane_tmax = jnp.where(alive, jnp.inf, -1.0)
+    ch = closest_fn(o, d, RAY_TMIN, lane_tmax)
+    safe_tri = jnp.maximum(ch.tri, 0)  # packet backend uses -1 for miss
+    attrs = intersect.hit_attributes(tris, o, d, ch.t, safe_tri)
+    active = alive & ch.hit
+    mats = gather_materials(scene.materials, attrs.mat_id)
+
+    # RNG: one sub-stream per (lane, bounce, purpose).
+    depth_arr = jnp.broadcast_to(jnp.asarray(depth), alive.shape)
+    kb = jax.vmap(jax.random.fold_in)(keys, depth_arr)
+    k_sphere = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+        kb, sampling.TAG_BSDF
+    )
+    k_u = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+        kb, sampling.TAG_FRESNEL
+    )
+    sphere = jax.vmap(lambda k: sampling.uniform_sphere(k))(k_sphere)
+    fresnel_u = jax.vmap(lambda k: jax.random.uniform(k))(k_u)
+
+    direct = direct_lighting(
+        scene.lights, occlude_fn, attrs.position, attrs.normal, -d, mats, active
+    )
+    bs = sample_bsdf(d, attrs.position, attrs.normal, mats, sphere, fresnel_u)
+
+    add = (active & bs.adds_direct)[..., None]
+    radiance = radiance + jnp.where(add, beta * direct, 0.0)
+    beta = jnp.where(active[..., None], beta * bs.throughput, beta)
+    o = jnp.where(active[..., None], bs.origin, o)
+    d = jnp.where(active[..., None], bs.direction, d)
+    n_closest = jnp.sum(alive.astype(jnp.int32))
+    n_shadow = n_lights * jnp.sum(active.astype(jnp.int32))
+    return o, d, beta, radiance, active, n_closest, n_shadow
+
+
 def trace_paths(
     scene: SceneData,
     origins: jnp.ndarray,     # [N,3]
@@ -45,46 +99,15 @@ def trace_paths(
     and shadow rays actually traced across all bounces (the Mrays metric of
     BASELINE.md counts these).
     """
-    tris = scene.triangles
     n = origins.shape[0]
-    n_lights = scene.lights.position.shape[0]
 
     def body(depth, state):
         o, d, beta, radiance, alive, n_closest, n_shadow = state
-
-        # Dead lanes keep finite-but-stale rays; cap their t_max below t_min
-        # so the traversal backends can terminate their blocks immediately.
-        lane_tmax = jnp.where(alive, jnp.inf, -1.0)
-        ch = closest_fn(o, d, RAY_TMIN, lane_tmax)
-        safe_tri = jnp.maximum(ch.tri, 0)  # packet backend uses -1 for miss
-        attrs = intersect.hit_attributes(tris, o, d, ch.t, safe_tri)
-        active = alive & ch.hit
-        mats = gather_materials(scene.materials, attrs.mat_id)
-
-        # RNG: one sub-stream per (lane, bounce, purpose).
-        kb = jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, depth)
-        k_sphere = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
-            kb, sampling.TAG_BSDF
+        o, d, beta, radiance, alive, nc, ns = bounce_step(
+            scene, closest_fn, occlude_fn,
+            o, d, beta, radiance, alive, keys, depth,
         )
-        k_u = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
-            kb, sampling.TAG_FRESNEL
-        )
-        sphere = jax.vmap(lambda k: sampling.uniform_sphere(k))(k_sphere)
-        fresnel_u = jax.vmap(lambda k: jax.random.uniform(k))(k_u)
-
-        direct = direct_lighting(
-            scene.lights, occlude_fn, attrs.position, attrs.normal, -d, mats, active
-        )
-        bs = sample_bsdf(d, attrs.position, attrs.normal, mats, sphere, fresnel_u)
-
-        add = (active & bs.adds_direct)[..., None]
-        radiance = radiance + jnp.where(add, beta * direct, 0.0)
-        beta = jnp.where(active[..., None], beta * bs.throughput, beta)
-        o = jnp.where(active[..., None], bs.origin, o)
-        d = jnp.where(active[..., None], bs.direction, d)
-        n_closest = n_closest + jnp.sum(alive.astype(jnp.int32))
-        n_shadow = n_shadow + n_lights * jnp.sum(active.astype(jnp.int32))
-        return (o, d, beta, radiance, active, n_closest, n_shadow)
+        return (o, d, beta, radiance, alive, n_closest + nc, n_shadow + ns)
 
     state = (
         origins,

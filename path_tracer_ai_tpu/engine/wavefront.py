@@ -162,6 +162,117 @@ def _render_wave(
     return acc, cnt, nc, ns
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "w", "h", "pix_chunk", "pool_size",
+        "block_size", "max_bounces", "aspect", "use_pallas",
+    ),
+)
+def _render_pool(
+    scene, accel, camera, base_key, xs, ys, spp,
+    *, w, h, pix_chunk, pool_size, block_size, max_bounces, aspect,
+    use_pallas=False,
+):
+    """Persistent-pool scheduler: ray compaction by REGENERATION.
+
+    The BASELINE north star's wavefront compaction, TPU-style: instead of
+    physically compacting surviving rays (dynamic shapes), a fixed pool of
+    `pool_size` lanes keeps every lane busy — when a path dies (miss or
+    depth cutoff) its radiance is scatter-accumulated into the framebuffer
+    and the lane is immediately re-armed with the next (pixel, sample)
+    camera ray, entirely on device inside one while_loop.
+
+    Radiance is IDENTICAL to the wave scheduler (_render_wave): RNG streams
+    depend only on (pixel, sample, bounce, purpose), never on scheduling.
+    Emission order is sample-major (all pixels at sample s before s+1) so
+    refilled lanes stay camera-coherent for the packet traversal.
+    """
+    closest, occlude = packet_backend(accel, block_size, use_pallas=use_pallas)
+    p = pix_chunk
+    n_l = pool_size
+    total = p * spp  # traced scalar
+
+    pix_global_all = (ys * w + xs).astype(jnp.int32)  # [P]
+
+    def emit(eids):
+        """Camera rays + streams for emission indices [L] (sample-major)."""
+        pl_ = eids % p          # chunk-local pixel slot
+        s = eids // p           # sample index
+        pg = pix_global_all[pl_]
+        keys = jax.vmap(lambda a, b: _fold_all(base_key, a, b))(pg, s)
+        kj = jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, 0)
+        jitter = jax.vmap(lambda k: jax.random.uniform(k, (2,)))(kj)
+        u = (xs[pl_].astype(jnp.float32) + jitter[:, 0]) / (w - 1)
+        v = (ys[pl_].astype(jnp.float32) + jitter[:, 1]) / (h - 1)
+        o, d = get_rays(camera, u, v, aspect)
+        return o, d, jax.random.key_data(keys), pl_, s
+
+    def cond(st):
+        e, alive = st[0], st[5]
+        return (e < total) | jnp.any(alive)
+
+    def body(st):
+        (e, o, d, beta, rad, alive, kd, p_lane, depth, acc, cnt, nc, ns) = st
+
+        # ---- refill dead lanes with the next emissions ----
+        dead = ~alive
+        rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
+        eid = e + rank
+        take = dead & (eid < total)
+        o_n, d_n, kd_n, pl_n, _s_n = emit(jnp.minimum(eid, total - 1))
+        tk = take[:, None]
+        o = jnp.where(tk, o_n, o)
+        d = jnp.where(tk, d_n, d)
+        beta = jnp.where(tk, 1.0, beta)
+        rad = jnp.where(tk, 0.0, rad)
+        kd = jnp.where(tk, kd_n, kd)
+        p_lane = jnp.where(take, pl_n, p_lane)
+        depth = jnp.where(take, 0, depth)
+        alive = alive | take
+        e = e + jnp.sum(take.astype(jnp.int32))
+
+        # ---- one shading vertex for the whole pool ----
+        keys = jax.random.wrap_key_data(kd)
+        alive_pre = alive
+        o, d, beta, rad, alive, dnc, dns = tracer.bounce_step(
+            scene, closest, occlude, o, d, beta, rad, alive, keys, depth
+        )
+        depth = depth + alive_pre.astype(jnp.int32)
+
+        # ---- retire finished paths into the framebuffer ----
+        died_miss = alive_pre & ~alive
+        exhausted = alive & (depth >= max_bounces)
+        finish = died_miss | exhausted
+        alive = alive & ~exhausted
+        valid = finish & jnp.all(jnp.isfinite(rad), axis=-1)
+        acc = acc.at[p_lane].add(jnp.where(valid[:, None], rad, 0.0),
+                                 mode="drop")
+        cnt = cnt.at[p_lane].add(valid.astype(jnp.int32), mode="drop")
+        return (e, o, d, beta, rad, alive, kd, p_lane, depth, acc, cnt,
+                nc + dnc, ns + dns)
+
+    kd0 = jax.random.key_data(jax.random.split(base_key, n_l))
+    st = (
+        jnp.int32(0),
+        jnp.zeros((n_l, 3), jnp.float32),
+        jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (n_l, 3)),
+        jnp.ones((n_l, 3), jnp.float32),
+        jnp.zeros((n_l, 3), jnp.float32),
+        jnp.zeros((n_l,), bool),
+        kd0,
+        jnp.zeros((n_l,), jnp.int32),
+        jnp.zeros((n_l,), jnp.int32),
+        jnp.zeros((p, 3), jnp.float32),
+        jnp.zeros((p,), jnp.int32),
+        jnp.int32(0),
+        jnp.int32(0),
+    )
+    out = jax.lax.while_loop(cond, body, st)
+    acc, cnt, nc, ns = out[9], out[10], out[11], out[12]
+    return acc, cnt, nc, ns
+
+
 class RenderStats:
     """Per-render counters (rays traced, wall time) for the Mrays/s metric."""
 
@@ -192,8 +303,14 @@ def render(
     show_progress: bool = False,
     stats: Optional[RenderStats] = None,
     use_pallas: Optional[bool] = None,
+    scheduler: str = "wave",
 ) -> np.ndarray:
-    """Full-frame wavefront render -> linear [H, W, 3] float32."""
+    """Full-frame wavefront render -> linear [H, W, 3] float32.
+
+    scheduler: "wave" (bounded-depth waves; supports per-pass progressive
+    checkpointing) or "pool" (persistent pool with on-device regeneration —
+    the compaction architecture; checkpoints only between pixel chunks).
+    """
     if tile_devices:
         from path_tracer_ai_tpu.parallel.mesh import render_tiled
 
@@ -257,6 +374,45 @@ def render(
     t_start = time.perf_counter()
 
     n_pix_chunks = math.ceil(npix / pix_chunk)
+
+    if scheduler == "pool":
+        if s_start < spp:
+            for ci in range(n_pix_chunks):
+                lo = ci * pix_chunk
+                hi = min(lo + pix_chunk, npix)
+                xs = np.zeros((pix_chunk,), np.int32)
+                ys = np.zeros((pix_chunk,), np.int32)
+                xs[: hi - lo] = xs_flat[lo:hi]
+                ys[: hi - lo] = ys_flat[lo:hi]
+                # padded pixel slots repeat slot 0; their samples are wasted work
+                # only for slots < hi-lo, so crop the accumulators below.
+                a, c, nc, ns = _render_pool(
+                    scene, accel, camera, base_key,
+                    jnp.asarray(xs), jnp.asarray(ys), spp,
+                    w=w, h=h, pix_chunk=pix_chunk, pool_size=lanes_padded,
+                    block_size=block_size, max_bounces=settings.max_bounces,
+                    aspect=aspect, use_pallas=use_pallas,
+                )
+                acc[lo:hi] += np.asarray(a)[: hi - lo]
+                cnt[lo:hi] += np.asarray(c)[: hi - lo]
+                stats.closest_rays += int(nc)
+                stats.shadow_rays += int(ns)
+                if show_progress:
+                    log.info("Rendering progress: %d%% (pool)",
+                             ((ci + 1) * 100) // n_pix_chunks)
+            if checkpoint_path:
+                ckpt_io.save(checkpoint_path, acc, cnt, spp, fingerprint)
+        stats.seconds += time.perf_counter() - t_start
+        log.info(
+            "Traced %.2fM rays (%.2fM closest + %.2fM shadow) at %.1f Mrays/s",
+            stats.total_rays / 1e6, stats.closest_rays / 1e6,
+            stats.shadow_rays / 1e6, stats.mrays_per_s,
+        )
+        safe_cnt = np.maximum(cnt, 1)[:, None].astype(np.float32)
+        img = acc / safe_cnt
+        img = np.where((cnt > 0)[:, None], img, MAGENTA[None, :])
+        return img.reshape(h, w, 3)
+
     passes_done = 0
     for s0 in range(s_start, spp, sc):
         for ci in range(n_pix_chunks):

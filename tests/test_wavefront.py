@@ -111,3 +111,29 @@ def test_spp_not_divisible_by_chunk(room_scene):
     img_ref = wavefront.render(room_scene, default_camera(),
                                SETTINGS, wave_size=48 * 27 * 2, block_size=64)
     assert np.abs(img5.mean() - img_ref.mean()) < 0.05
+
+
+def test_pool_scheduler_matches_wave(room_scene):
+    """Regeneration must be invisible to radiance: RNG streams depend only on
+    (pixel, sample, bounce), never on lane scheduling."""
+    cam = default_camera()
+    img_wave = wavefront.render(room_scene, cam, SETTINGS,
+                                wave_size=1 << 11, block_size=64,
+                                scheduler="wave")
+    st = wavefront.RenderStats()
+    img_pool = wavefront.render(room_scene, cam, SETTINGS,
+                                wave_size=1 << 11, block_size=64,
+                                scheduler="pool", stats=st)
+    np.testing.assert_allclose(img_wave, img_pool, atol=1e-5)
+    assert st.closest_rays > 0 and st.shadow_rays > 0
+
+
+def test_pool_scheduler_chunked_pixels(room_scene):
+    """Pool mode with multiple pixel chunks (pool smaller than the image)."""
+    cam = default_camera()
+    img_pool = wavefront.render(room_scene, cam, SETTINGS,
+                                wave_size=1 << 9, block_size=64,
+                                scheduler="pool")
+    img_wave = wavefront.render(room_scene, cam, SETTINGS,
+                                wave_size=1 << 9, block_size=64)
+    np.testing.assert_allclose(img_wave, img_pool, atol=1e-5)
