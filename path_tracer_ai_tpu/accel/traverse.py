@@ -240,6 +240,216 @@ def _unpermute_blocks(arr, blk_index):
     return arr[inv]
 
 
+def _perray_candidates(accel: ClusterAccel, origins, directions, t_max,
+                       cap: int, row_chunk: int = 1 << 16):
+    """EXACT per-ray candidate clusters, capped at `cap` per ray.
+
+    Unlike the block-conservative interval cull, every ray gets its own slab
+    test against all C cluster AABBs — incoherent bounce waves drop from
+    block-union candidate counts (100-200) to the true per-ray count (~10).
+    Memory is bounded by scanning row chunks ([chunk, C] transients).
+
+    Returns (order [N, cap], n_cand [N] clipped to cap, entry [N, cap],
+    overflow [N] = ray has more than cap candidates and needs the packet
+    fallback for completeness).
+    """
+    n = origins.shape[0]
+    pad_rows = (-n) % row_chunk
+    o = jnp.pad(origins, ((0, pad_rows), (0, 0)))
+    d = jnp.pad(directions, ((0, pad_rows), (0, 0)), constant_values=1.0)
+    tm = jnp.pad(t_max, (0, pad_rows), constant_values=-1.0)
+    nch = o.shape[0] // row_chunk
+
+    def one_chunk(args):
+        oc, dc, tc = args
+        inv = 1.0 / dc                                     # IEEE inf slopes
+        t0 = (accel.bmin[None] - oc[:, None, :]) * inv[:, None, :]
+        t1 = (accel.bmax[None] - oc[:, None, :]) * inv[:, None, :]
+        near = jnp.where(inv[:, None, :] < 0.0, t1, t0)
+        far = jnp.where(inv[:, None, :] < 0.0, t0, t1)
+        lo = jnp.full(near.shape[:2], jnp.float32(1.0e-3))
+        hi = jnp.minimum(jnp.broadcast_to(tc[:, None], near.shape[:2]), jnp.inf)
+        for a in range(3):
+            lo = jnp.where(near[..., a] > lo, near[..., a], lo)
+            hi = jnp.where(far[..., a] < hi, far[..., a], hi)
+        cand = hi > lo                                     # aabb.hpp:21 rule
+        entry = jnp.where(cand, lo, jnp.inf)
+        order = jnp.argsort(entry, axis=1)[:, :cap].astype(jnp.int32)
+        entry_k = jnp.take_along_axis(entry, order, axis=1)
+        if order.shape[1] < cap:  # fewer clusters than the cap
+            pad_c = cap - order.shape[1]
+            order = jnp.pad(order, ((0, 0), (0, pad_c)))
+            entry_k = jnp.pad(entry_k, ((0, 0), (0, pad_c)),
+                              constant_values=jnp.inf)
+        n_cand = jnp.sum(cand, axis=1).astype(jnp.int32)
+        return order, jnp.minimum(n_cand, cap), entry_k, n_cand > cap
+
+    out = jax.lax.map(
+        one_chunk,
+        (o.reshape(nch, row_chunk, 3), d.reshape(nch, row_chunk, 3),
+         tm.reshape(nch, row_chunk)),
+    )
+    order = out[0].reshape(-1, cap)[:n]
+    n_cand = out[1].reshape(-1)[:n]
+    entry = out[2].reshape(-1, cap)[:n]
+    overflow = out[3].reshape(-1)[:n]
+    return order, n_cand, entry, overflow
+
+
+@partial(jax.jit, static_argnames=("cap", "group_size", "fallback_block"))
+def closest_hit_perray(
+    accel: ClusterAccel,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    t_min,
+    t_max,
+    cap: int = 64,
+    group_size: int = 4,
+    fallback_block: int = 64,
+) -> PacketHit:
+    """Closest hit with EXACT per-ray candidate lists (no ray blocking).
+
+    Rays whose candidate count exceeds `cap` (rare: grazing rays along the
+    whole scene) are completed by the conservative packet path, so the
+    result is exact for every ray.
+    """
+    n = origins.shape[0]
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    order, n_cand, entry, overflow = _perray_candidates(
+        accel, origins, directions, t_max, cap
+    )
+    # overflow rays are handled entirely by the fallback
+    n_cand = jnp.where(overflow, 0, n_cand)
+
+    g = group_size
+    cap_pad = -(-cap // g) * g
+    if cap_pad - cap:
+        order = jnp.pad(order, ((0, 0), (0, cap_pad - cap)))
+        entry = jnp.pad(entry, ((0, 0), (0, cap_pad - cap)),
+                        constant_values=jnp.inf)
+    order_g = order.reshape(n, cap_pad // g, g)
+    max_k = cap_pad // g - 1
+
+    o1 = origins[:, None, :]
+    d1 = directions[:, None, :]
+    tb1 = t_max[:, None]
+
+    def active_fn(k, blocks, carry):
+        _, _, tb, nc, ent = blocks[:5]
+        best_t = carry[0][:, 0]
+        kk = jnp.minimum(k, max_k)
+        return (k * g < nc) & (ent[:, kk * g] <= best_t) & (tb[:, 0] >= 0.0)
+
+    def sweep_update(k, blocks, carry):
+        ob, db, tb, nc, ent, ordg = blocks
+        best_t, best_id = carry
+        size = ob.shape[0]
+        kk = jnp.minimum(k, max_k)
+        cid = ordg[:, kk]                          # [size, g]
+        on = (k * g < nc)
+        cv0 = accel.v0[cid].reshape(size, -1, 3)
+        ce1 = accel.e1[cid].reshape(size, -1, 3)
+        ce2 = accel.e2[cid].reshape(size, -1, 3)
+        cti = accel.tri_id[cid].reshape(size, -1)
+        t_cap2 = jnp.minimum(tb, best_t)
+        t, _ = _mt_sweep(ob, db, cv0, ce1, ce2, t_min, t_cap2)
+        ct = jnp.min(t, axis=-1)
+        slot = jnp.argmin(t, axis=-1)
+        gid = jnp.take_along_axis(cti, slot, axis=1)
+        closer = on[:, None] & (ct < best_t)
+        return (jnp.where(closer, ct, best_t), jnp.where(closer, gid, best_id))
+
+    carry, blk_index = _cascade_traverse(
+        (o1, d1, tb1, n_cand, entry, order_g),
+        (
+            jnp.full((n, 1), jnp.inf, jnp.float32),
+            jnp.full((n, 1), -1, jnp.int32),
+        ),
+        sweep_update,
+        active_fn,
+        min_blocks=1024,
+    )
+    best_t = _unpermute_blocks(carry[0], blk_index)[:, 0]
+    best_id = _unpermute_blocks(carry[1], blk_index)[:, 0]
+
+    # Complete overflow rays with the conservative packet path.
+    pad = (-n) % fallback_block
+    fo = jnp.pad(origins, ((0, pad), (0, 0)))
+    fd = jnp.pad(directions, ((0, pad), (0, 0)), constant_values=1.0)
+    ftm = jnp.pad(jnp.where(overflow, t_max, -1.0), (0, pad),
+                  constant_values=-1.0)
+    fb = closest_hit_packets(accel, fo, fd, t_min, ftm,
+                             block_size=fallback_block)
+    best_t = jnp.where(overflow, fb.t[:n], best_t)
+    best_id = jnp.where(overflow, fb.tri[:n], best_id)
+    return PacketHit(hit=jnp.isfinite(best_t), t=best_t, tri=best_id)
+
+
+@partial(jax.jit, static_argnames=("cap", "group_size", "fallback_block"))
+def any_hit_perray(
+    accel: ClusterAccel,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    t_min,
+    t_max,
+    cap: int = 64,
+    group_size: int = 4,
+    fallback_block: int = 64,
+) -> jnp.ndarray:
+    n = origins.shape[0]
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    order, n_cand, _entry, overflow = _perray_candidates(
+        accel, origins, directions, t_max, cap
+    )
+    n_cand = jnp.where(overflow, 0, n_cand)
+
+    g = group_size
+    cap_pad = -(-cap // g) * g
+    if cap_pad - cap:
+        order = jnp.pad(order, ((0, 0), (0, cap_pad - cap)))
+    order_g = order.reshape(n, cap_pad // g, g)
+    max_k = cap_pad // g - 1
+
+    o1 = origins[:, None, :]
+    d1 = directions[:, None, :]
+    tb1 = t_max[:, None]
+
+    def active_fn(k, blocks, carry):
+        nc = blocks[3]
+        occ = carry[0][:, 0]
+        return (k * g < nc) & ~occ
+
+    def sweep_update(k, blocks, carry):
+        ob, db, tb, nc, ordg = blocks
+        (occ,) = carry
+        size = ob.shape[0]
+        kk = jnp.minimum(k, max_k)
+        cid = ordg[:, kk]
+        on = (k * g < nc) & ~occ[:, 0]
+        cv0 = accel.v0[cid].reshape(size, -1, 3)
+        ce1 = accel.e1[cid].reshape(size, -1, 3)
+        ce2 = accel.e2[cid].reshape(size, -1, 3)
+        _, ok = _mt_sweep(ob, db, cv0, ce1, ce2, t_min, tb)
+        return (occ | (on[:, None] & jnp.any(ok, axis=-1)),)
+
+    carry, blk_index = _cascade_traverse(
+        (o1, d1, tb1, n_cand, order_g),
+        (jnp.zeros((n, 1), bool),),
+        sweep_update,
+        active_fn,
+        min_blocks=1024,
+    )
+    occluded = _unpermute_blocks(carry[0], blk_index)[:, 0]
+
+    pad = (-n) % fallback_block
+    fo = jnp.pad(origins, ((0, pad), (0, 0)))
+    fd = jnp.pad(directions, ((0, pad), (0, 0)), constant_values=1.0)
+    ftm = jnp.pad(jnp.where(overflow, t_max, -1.0), (0, pad),
+                  constant_values=-1.0)
+    fb = any_hit_packets(accel, fo, fd, t_min, ftm, block_size=fallback_block)
+    return jnp.where(overflow, fb[:n], occluded)
+
+
 @partial(jax.jit, static_argnames=("block_size", "sort", "group_size"))
 def closest_hit_packets(
     accel: ClusterAccel,

@@ -80,6 +80,17 @@ def packet_backend(
 
         return closest, occlude
 
+    if block_size == 1:
+        # Per-ray exact candidate lists (no blocking): the right regime for
+        # incoherent bounce/shadow waves where block unions explode.
+        def closest(o, d, t_min, t_max):
+            return traverse.closest_hit_perray(accel, o, d, RAY_TMIN, t_max)
+
+        def occlude(o, d, t_max):
+            return traverse.any_hit_perray(accel, o, d, RAY_TMIN, t_max)
+
+        return closest, occlude
+
     def closest(o, d, t_min, t_max):
         return traverse.closest_hit_packets(
             accel, o, d, t_min, t_max, block_size=block_size

@@ -150,3 +150,56 @@ class TestTraversalExactness:
         d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (64, 3))
         ph = closest_hit_packets(accel, o, d, 1e-3, np.inf, block_size=64)
         np.testing.assert_allclose(np.asarray(ph.t), 1.0, rtol=1e-6)
+
+
+class TestPerRayTraversal:
+    """Per-ray exact candidate traversal (closest_hit_perray/any_hit_perray)."""
+
+    def test_closest_matches_bruteforce(self, rng):
+        from path_tracer_ai_tpu.accel.traverse import closest_hit_perray
+
+        tris = random_soup(rng, 400)
+        accel = build_clusters(tris, cluster_size=32)
+        o, d = random_rays(rng, 200)
+        ph = closest_hit_perray(accel, o, d, 1e-3, np.inf)
+        bh = closest_hit(tris, o, d, 1e-3, np.inf)
+        np.testing.assert_array_equal(np.asarray(ph.hit), np.asarray(bh.hit))
+        m = np.asarray(bh.hit)
+        np.testing.assert_allclose(np.asarray(ph.t)[m], np.asarray(bh.t)[m], rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(ph.tri)[m], np.asarray(bh.tri)[m])
+
+    def test_overflow_fallback_exact(self, rng):
+        """cap=2 forces overflow on nearly every ray; the packet fallback
+        must keep results exact."""
+        from path_tracer_ai_tpu.accel.traverse import closest_hit_perray
+
+        tris = random_soup(rng, 300, spread=2.0)
+        accel = build_clusters(tris, cluster_size=8)  # many clusters
+        o, d = random_rays(rng, 100, spread=3.0)
+        ph = closest_hit_perray(accel, o, d, 1e-3, np.inf, cap=2)
+        bh = closest_hit(tris, o, d, 1e-3, np.inf)
+        np.testing.assert_array_equal(np.asarray(ph.hit), np.asarray(bh.hit))
+        m = np.asarray(bh.hit)
+        np.testing.assert_allclose(np.asarray(ph.t)[m], np.asarray(bh.t)[m], rtol=1e-5)
+
+    def test_anyhit_matches_bruteforce(self, rng):
+        from path_tracer_ai_tpu.accel.traverse import any_hit_perray
+
+        tris = random_soup(rng, 300)
+        accel = build_clusters(tris, cluster_size=16)
+        o, d = random_rays(rng, 150)
+        tmax = jnp.asarray(rng.uniform(0.3, 12.0, 150).astype(np.float32))
+        pa = any_hit_perray(accel, o, d, 1e-3, tmax)
+        ba = any_hit(tris, o, d, 1e-3, tmax)
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(ba))
+
+    def test_dead_rays(self, rng):
+        from path_tracer_ai_tpu.accel.traverse import closest_hit_perray
+
+        tris = random_soup(rng, 200)
+        accel = build_clusters(tris, cluster_size=16)
+        o, d = random_rays(rng, 64)
+        tmax = np.full(64, np.inf, np.float32)
+        tmax[::2] = -1.0
+        ph = closest_hit_perray(accel, o, d, 1e-3, jnp.asarray(tmax))
+        assert not np.asarray(ph.hit)[::2].any()
