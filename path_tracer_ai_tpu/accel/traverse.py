@@ -241,7 +241,7 @@ def _unpermute_blocks(arr, blk_index):
 
 
 def _perray_candidates(accel: ClusterAccel, origins, directions, t_max,
-                       cap: int, row_chunk: int = 1 << 16):
+                       cap: int, row_chunk: int = 1 << 14):
     """EXACT per-ray candidate clusters, capped at `cap` per ray.
 
     Unlike the block-conservative interval cull, every ray gets its own slab
