@@ -241,7 +241,8 @@ def _unpermute_blocks(arr, blk_index):
 
 
 def _perray_candidates(accel: ClusterAccel, origins, directions, t_max,
-                       cap: int, row_chunk: int = 1 << 14):
+                       cap: int, row_chunk: int = 1 << 14,
+                       order_mode: str = "id"):
     """EXACT per-ray candidate clusters, capped at `cap` per ray.
 
     Unlike the block-conservative interval cull, every ray gets its own slab
@@ -273,15 +274,29 @@ def _perray_candidates(accel: ClusterAccel, origins, directions, t_max,
             lo = jnp.where(near[..., a] > lo, near[..., a], lo)
             hi = jnp.where(far[..., a] < hi, far[..., a], hi)
         cand = hi > lo                                     # aabb.hpp:21 rule
-        entry = jnp.where(cand, lo, jnp.inf)
-        order = jnp.argsort(entry, axis=1)[:, :cap].astype(jnp.int32)
-        entry_k = jnp.take_along_axis(entry, order, axis=1)
+        c = cand.shape[1]
+        n_cand = jnp.sum(cand, axis=1).astype(jnp.int32)
+        if order_mode == "entry":
+            # front-to-back candidate order (enables entry termination);
+            # costs a [rows, C] sort
+            entry = jnp.where(cand, lo, jnp.inf)
+            order = jnp.argsort(entry, axis=1)[:, :cap].astype(jnp.int32)
+            entry_k = jnp.take_along_axis(entry, order, axis=1)
+        else:
+            # cluster-id (Morton/spatial) order via cumsum + searchsorted —
+            # an order of magnitude cheaper than the sort at wave scale
+            cums = jnp.cumsum(cand.astype(jnp.int32), axis=1)
+            targets = jnp.arange(1, min(cap, c) + 1, dtype=jnp.int32)
+            order = jax.vmap(
+                lambda row: jnp.searchsorted(row, targets, side="left")
+            )(cums).astype(jnp.int32)
+            order = jnp.minimum(order, c - 1)
+            entry_k = jnp.zeros_like(order, dtype=jnp.float32)
         if order.shape[1] < cap:  # fewer clusters than the cap
             pad_c = cap - order.shape[1]
             order = jnp.pad(order, ((0, 0), (0, pad_c)))
             entry_k = jnp.pad(entry_k, ((0, 0), (0, pad_c)),
                               constant_values=jnp.inf)
-        n_cand = jnp.sum(cand, axis=1).astype(jnp.int32)
         return order, jnp.minimum(n_cand, cap), entry_k, n_cand > cap
 
     out = jax.lax.map(
@@ -315,7 +330,7 @@ def closest_hit_perray(
     """
     n = origins.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    order, n_cand, entry, overflow = _perray_candidates(
+    order, n_cand, _entry, overflow = _perray_candidates(
         accel, origins, directions, t_max, cap
     )
     # overflow rays are handled entirely by the fallback
@@ -325,8 +340,6 @@ def closest_hit_perray(
     cap_pad = -(-cap // g) * g
     if cap_pad - cap:
         order = jnp.pad(order, ((0, 0), (0, cap_pad - cap)))
-        entry = jnp.pad(entry, ((0, 0), (0, cap_pad - cap)),
-                        constant_values=jnp.inf)
     order_g = order.reshape(n, cap_pad // g, g)
     max_k = cap_pad // g - 1
 
@@ -335,13 +348,14 @@ def closest_hit_perray(
     tb1 = t_max[:, None]
 
     def active_fn(k, blocks, carry):
-        _, _, tb, nc, ent = blocks[:5]
-        best_t = carry[0][:, 0]
-        kk = jnp.minimum(k, max_k)
-        return (k * g < nc) & (ent[:, kk * g] <= best_t) & (tb[:, 0] >= 0.0)
+        # Candidates are id-ordered (not entry-ordered), so the only exact
+        # stopping rules are candidate exhaustion and dead lanes; tMax
+        # shrink-pruning inside the sweep handles distance culling.
+        _, _, tb, nc = blocks[:4]
+        return (k * g < nc) & (tb[:, 0] >= 0.0)
 
     def sweep_update(k, blocks, carry):
-        ob, db, tb, nc, ent, ordg = blocks
+        ob, db, tb, nc, ordg = blocks
         best_t, best_id = carry
         size = ob.shape[0]
         kk = jnp.minimum(k, max_k)
@@ -360,7 +374,7 @@ def closest_hit_perray(
         return (jnp.where(closer, ct, best_t), jnp.where(closer, gid, best_id))
 
     carry, blk_index = _cascade_traverse(
-        (o1, d1, tb1, n_cand, entry, order_g),
+        (o1, d1, tb1, n_cand, order_g),
         (
             jnp.full((n, 1), jnp.inf, jnp.float32),
             jnp.full((n, 1), -1, jnp.int32),
