@@ -82,12 +82,52 @@ def packet_backend(
 
     if block_size == 1:
         # Per-ray exact candidate lists (no blocking): the right regime for
-        # incoherent bounce/shadow waves where block unions explode.
+        # incoherent bounce/shadow waves where block unions explode. The
+        # cascade's temporary buffers scale ~21 KB/ray, so big waves are
+        # processed in fixed-size chunks to bound HBM.
+        chunk = 1 << 16
+
+        def _chunked(fn, o, d, t_max, n_out):
+            n = o.shape[0]
+            if n <= chunk:
+                return fn(o, d, t_max)
+            pad = (-n) % chunk
+            o2 = jnp.pad(o, ((0, pad), (0, 0)))
+            d2 = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+            t2 = jnp.pad(jnp.broadcast_to(t_max, (n,)), (0, pad),
+                         constant_values=-1.0)
+            nch = (n + pad) // chunk
+            out = jax.lax.map(
+                fn_tuple(fn),
+                (o2.reshape(nch, chunk, 3), d2.reshape(nch, chunk, 3),
+                 t2.reshape(nch, chunk)),
+            )
+            return tuple(a.reshape(-1)[:n] for a in out)
+
+        def fn_tuple(fn):
+            def g(args):
+                oo, dd, tt = args
+                return fn(oo, dd, tt)
+            return g
+
         def closest(o, d, t_min, t_max):
-            return traverse.closest_hit_perray(accel, o, d, RAY_TMIN, t_max)
+            def core(oo, dd, tt):
+                h = traverse.closest_hit_perray(accel, oo, dd, RAY_TMIN, tt)
+                return (h.t, h.tri)
+            t, tri = _chunked(core, o, d,
+                              jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                                               (o.shape[0],)),
+                              2)
+            return traverse.PacketHit(hit=jnp.isfinite(t), t=t, tri=tri)
 
         def occlude(o, d, t_max):
-            return traverse.any_hit_perray(accel, o, d, RAY_TMIN, t_max)
+            def core(oo, dd, tt):
+                return (traverse.any_hit_perray(accel, oo, dd, RAY_TMIN, tt),)
+            (occ,) = _chunked(core, o, d,
+                              jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                                               (o.shape[0],)),
+                              1)
+            return occ
 
         return closest, occlude
 
