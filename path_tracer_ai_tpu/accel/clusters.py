@@ -53,7 +53,7 @@ class ClusterAccel(NamedTuple):
         return self.v0.shape[1]
 
 
-def build_clusters(tris: TrianglesSoA, cluster_size: int = 64) -> ClusterAccel:
+def build_clusters(tris: TrianglesSoA, cluster_size: int = 128) -> ClusterAccel:
     """Morton-sort triangles and pack into fixed-size clusters."""
     v0 = np.asarray(tris.v0, np.float32)
     v1 = np.asarray(tris.v1, np.float32)

@@ -346,8 +346,8 @@ def render(
     camera: Camera,
     settings: RenderSettings,
     accel: Optional[ClusterAccel] = None,
-    wave_size: int = 1 << 17,
-    block_size: int = 256,
+    wave_size: int = 1 << 18,
+    block_size: int = 64,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
     tile_devices: Optional[int] = None,
