@@ -81,10 +81,14 @@ def packet_backend(
         return closest, occlude
 
     if block_size == 1:
-        # Per-ray exact candidate lists (no blocking): the right regime for
-        # incoherent bounce/shadow waves where block unions explode. The
-        # cascade's temporary buffers scale ~21 KB/ray, so big waves are
-        # processed in fixed-size chunks to bound HBM.
+        # Per-ray exact candidate lists (no blocking). Measured on v5e: the
+        # per-ray candidate counts are ~25x smaller than block unions, but
+        # scheduling overhead (cascade iterations over chunked [64k] rows)
+        # swamps the saved arithmetic — a full wave runs ~26x SLOWER than the
+        # packet path (51.5s vs 2.0s). Kept as an opt-in experiment and as
+        # the candidate-extraction machinery for a future pair-tile design;
+        # see docs/ARCHITECTURE.md. The cascade's temporary buffers scale
+        # ~21 KB/ray, so big waves are processed in fixed-size chunks.
         chunk = 1 << 16
 
         def _chunked(fn, o, d, t_max, n_out):
