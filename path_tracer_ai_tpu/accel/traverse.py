@@ -159,7 +159,7 @@ def _mt_sweep(o_blk, d_blk, cv0, ce1, ce2, t_min, t_max_blk):
 
 
 def _cascade_traverse(
-    nb: int,
+    block_arrays: tuple,
     carry: tuple,
     sweep_update,
     active_fn,
@@ -175,27 +175,25 @@ def _cascade_traverse(
     trace time). Total sweep work approaches sum(n_cand) instead of
     B * max(n_cand).
 
-    The BLOCK INPUT ARRAYS are never moved: compaction permutes only a
-    position->original index (`blk_index`) and the small carry accumulators;
-    the callbacks gather the rows they need from the originals per iteration
-    (a few MB per step vs tens of MB of array movement per stage).
-
-    carry: per-block result accumulators (position-indexed).
-    sweep_update(k, blk_index_slice, carry_slice) -> carry_slice
-    active_fn(k, blk_index_slice, carry_slice) -> [size] bool
+    block_arrays: per-block inputs permuted alongside the carry.
+    carry: per-block result accumulators.
+    sweep_update(k, block_arrays_slice, carry_slice) -> carry_slice
+    active_fn(k, block_arrays_slice, carry_slice) -> [size] bool
     Returns (carry, blk_index) where blk_index[i] = original position of the
     block now at position i.
     """
+    nb = block_arrays[0].shape[0]
     blk_index = jnp.arange(nb, dtype=jnp.int32)
-    full = tuple(carry) + (blk_index,)
+    full = tuple(block_arrays) + tuple(carry) + (blk_index,)
+    n_in = len(block_arrays)
     n_carry = len(carry)
 
     size = nb
     k0 = jnp.int32(0)
     while True:
         sl = tuple(a[:size] for a in full)
-        carry_sl = sl[:n_carry]
-        idx_sl = sl[-1]
+        blocks_sl = sl[:n_in]
+        carry_sl = sl[n_in:n_in + n_carry]
 
         last_stage = size // 2 < min_blocks
         threshold = 0 if last_stage else size // 2
@@ -203,13 +201,13 @@ def _cascade_traverse(
         def cond(state):
             k = state[0]
             c = state[1:]
-            act = active_fn(k, idx_sl, c)
+            act = active_fn(k, blocks_sl, c)
             return jnp.sum(act) > threshold
 
         def body(state):
             k = state[0]
             c = state[1:]
-            c = sweep_update(k, idx_sl, c)
+            c = sweep_update(k, blocks_sl, c)
             return (k + 1,) + tuple(c)
 
         out = jax.lax.while_loop(cond, body, (k0,) + tuple(carry_sl))
@@ -219,19 +217,19 @@ def _cascade_traverse(
         # write results back into the full arrays
         full = list(full)
         for i in range(n_carry):
-            full[i] = full[i].at[:size].set(carry_sl[i])
+            full[n_in + i] = full[n_in + i].at[:size].set(carry_sl[i])
         full = tuple(full)
 
         if last_stage:
             break
 
         # compact still-active blocks to the front of the slice
-        act = active_fn(k0, idx_sl, carry_sl)
+        act = active_fn(k0, blocks_sl, carry_sl)
         perm = jnp.argsort(~act, stable=True).astype(jnp.int32)
         full = tuple(a.at[:size].set(a[:size][perm]) for a in full)
         size //= 2
 
-    carry_out = full[:n_carry]
+    carry_out = full[n_in:n_in + n_carry]
     blk_index = full[-1]
     return carry_out, blk_index
 
@@ -240,21 +238,6 @@ def _unpermute_blocks(arr, blk_index):
     """arr[i] holds the result for original block blk_index[i]; invert."""
     inv = jnp.argsort(blk_index).astype(jnp.int32)
     return arr[inv]
-
-
-def _min_and_first_slot(t):
-    """(min t, first slot achieving it) over the last axis.
-
-    Semantically identical to (min, argmin) — argmin returns the first
-    minimum — but lowered as two plain min-reduces + a select: XLA's
-    iota-reduce argmin lowering costs as much as the whole MT sweep it
-    follows (profiled at ~350 ms/wave).
-    """
-    ct = jnp.min(t, axis=-1)
-    slots = jax.lax.broadcasted_iota(jnp.int32, t.shape, t.ndim - 1)
-    big = jnp.int32(2**30)
-    slot = jnp.min(jnp.where(t == ct[..., None], slots, big), axis=-1)
-    return ct, jnp.minimum(slot, t.shape[-1] - 1)
 
 
 def _perray_candidates(accel: ClusterAccel, origins, directions, t_max,
@@ -364,31 +347,34 @@ def closest_hit_perray(
     d1 = directions[:, None, :]
     tb1 = t_max[:, None]
 
-    def active_fn(k, idx, carry):
+    def active_fn(k, blocks, carry):
         # Candidates are id-ordered (not entry-ordered), so the only exact
         # stopping rules are candidate exhaustion and dead lanes; tMax
         # shrink-pruning inside the sweep handles distance culling.
-        return (k * g < n_cand[idx]) & (tb1[idx, 0] >= 0.0)
+        _, _, tb, nc = blocks[:4]
+        return (k * g < nc) & (tb[:, 0] >= 0.0)
 
-    def sweep_update(k, idx, carry):
+    def sweep_update(k, blocks, carry):
+        ob, db, tb, nc, ordg = blocks
         best_t, best_id = carry
-        size = idx.shape[0]
+        size = ob.shape[0]
         kk = jnp.minimum(k, max_k)
-        cid = order_g[idx, kk]                     # [size, g]
-        on = (k * g < n_cand[idx])
+        cid = ordg[:, kk]                          # [size, g]
+        on = (k * g < nc)
         cv0 = accel.v0[cid].reshape(size, -1, 3)
         ce1 = accel.e1[cid].reshape(size, -1, 3)
         ce2 = accel.e2[cid].reshape(size, -1, 3)
         cti = accel.tri_id[cid].reshape(size, -1)
-        t_cap2 = jnp.minimum(tb1[idx], best_t)
-        t, _ = _mt_sweep(o1[idx], d1[idx], cv0, ce1, ce2, t_min, t_cap2)
-        ct, slot = _min_and_first_slot(t)
+        t_cap2 = jnp.minimum(tb, best_t)
+        t, _ = _mt_sweep(ob, db, cv0, ce1, ce2, t_min, t_cap2)
+        ct = jnp.min(t, axis=-1)
+        slot = jnp.argmin(t, axis=-1)
         gid = jnp.take_along_axis(cti, slot, axis=1)
         closer = on[:, None] & (ct < best_t)
         return (jnp.where(closer, ct, best_t), jnp.where(closer, gid, best_id))
 
     carry, blk_index = _cascade_traverse(
-        n,
+        (o1, d1, tb1, n_cand, order_g),
         (
             jnp.full((n, 1), jnp.inf, jnp.float32),
             jnp.full((n, 1), -1, jnp.int32),
@@ -442,24 +428,26 @@ def any_hit_perray(
     d1 = directions[:, None, :]
     tb1 = t_max[:, None]
 
-    def active_fn(k, idx, carry):
+    def active_fn(k, blocks, carry):
+        nc = blocks[3]
         occ = carry[0][:, 0]
-        return (k * g < n_cand[idx]) & ~occ
+        return (k * g < nc) & ~occ
 
-    def sweep_update(k, idx, carry):
+    def sweep_update(k, blocks, carry):
+        ob, db, tb, nc, ordg = blocks
         (occ,) = carry
-        size = idx.shape[0]
+        size = ob.shape[0]
         kk = jnp.minimum(k, max_k)
-        cid = order_g[idx, kk]
-        on = (k * g < n_cand[idx]) & ~occ[:, 0]
+        cid = ordg[:, kk]
+        on = (k * g < nc) & ~occ[:, 0]
         cv0 = accel.v0[cid].reshape(size, -1, 3)
         ce1 = accel.e1[cid].reshape(size, -1, 3)
         ce2 = accel.e2[cid].reshape(size, -1, 3)
-        _, ok = _mt_sweep(o1[idx], d1[idx], cv0, ce1, ce2, t_min, tb1[idx])
+        _, ok = _mt_sweep(ob, db, cv0, ce1, ce2, t_min, tb)
         return (occ | (on[:, None] & jnp.any(ok, axis=-1)),)
 
     carry, blk_index = _cascade_traverse(
-        n,
+        (o1, d1, tb1, n_cand, order_g),
         (jnp.zeros((n, 1), bool),),
         sweep_update,
         active_fn,
@@ -521,29 +509,25 @@ def closest_hit_packets(
     order_g = order.reshape(nb, c_pad // g, g)
     max_k = c_pad // g - 1
 
-    def active_fn(k, idx, carry):
+    def active_fn(k, blocks, carry):
         # Front-to-back early termination (the BVH-descent pruning analog):
         # once the next candidate group's conservative entry distance exceeds
         # every member ray's current best hit, no later group can improve the
         # block — candidates are entry-sorted. Dead lanes (t_max < 0) can
         # never hit and must not gate termination with their inf best.
+        _, _, tb, nc, ent = blocks[:5]
         best_t = carry[0]
-        nc = n_cand[idx]
-        tb = tmax_blk[idx]
         best_eff = jnp.where(tb < 0.0, -jnp.inf, best_t)
         kk = jnp.minimum(k, max_k)
-        entry_k = entry_sorted[idx, kk * g]
+        entry_k = ent[:, kk * g]
         return (k * g < nc) & (entry_k <= jnp.max(best_eff, axis=1))
 
-    def sweep_update(k, idx, carry):
+    def sweep_update(k, blocks, carry):
+        ob, db, tb, nc, ent, ordg = blocks
         best_t, best_id = carry
-        size = idx.shape[0]
-        ob = o_blk[idx]
-        db = d_blk[idx]
-        tb = tmax_blk[idx]
-        nc = n_cand[idx]
+        size = ob.shape[0]
         kk = jnp.minimum(k, max_k)
-        cid = order_g[idx, kk]                   # [size, g]
+        cid = ordg[:, kk]                        # [size, g]
         blk_on = (k * g < nc)
         cv0 = accel.v0[cid].reshape(size, -1, 3)   # [size, g*S, 3]
         ce1 = accel.e1[cid].reshape(size, -1, 3)
@@ -553,7 +537,8 @@ def closest_hit_packets(
         # tMax shrink-pruning: current best t bounds the sweep (bvh.hpp:91).
         t_cap = jnp.minimum(tb, best_t)
         t, _ = _mt_sweep(ob, db, cv0, ce1, ce2, t_min, t_cap)
-        ct, slot = _min_and_first_slot(t)       # first-min tie rule
+        ct = jnp.min(t, axis=-1)
+        slot = jnp.argmin(t, axis=-1)           # first-min tie rule
         gid = jnp.take_along_axis(cti, slot, axis=1)
 
         closer = blk_on[:, None] & (ct < best_t)
@@ -562,7 +547,7 @@ def closest_hit_packets(
         return best_t, best_id
 
     carry, blk_index = _cascade_traverse(
-        nb,
+        (o_blk, d_blk, tmax_blk, n_cand, entry_sorted, order_g),
         (
             jnp.full((nb, block_size), jnp.inf, jnp.float32),
             jnp.full((nb, block_size), -1, jnp.int32),
@@ -620,19 +605,16 @@ def any_hit_packets(
     order_g = order.reshape(nb, c_pad // g, g)
     max_k = c_pad // g - 1
 
-    def active_fn(k, idx, carry):
-        nc = n_cand[idx]
+    def active_fn(k, blocks, carry):
+        nc = blocks[3]
         occ = carry[0]
         return (k * g < nc) & ~jnp.all(occ, axis=1)
 
-    def sweep_update(k, idx, carry):
+    def sweep_update(k, blocks, carry):
+        ob, db, tb, nc, ordg = blocks
         (occ,) = carry
-        size = idx.shape[0]
-        ob = o_blk[idx]
-        db = d_blk[idx]
-        tb = tmax_blk[idx]
-        nc = n_cand[idx]
-        cid = order_g[idx, jnp.minimum(k, max_k)]   # [size, g]
+        size = ob.shape[0]
+        cid = ordg[:, jnp.minimum(k, max_k)]        # [size, g]
         blk_on = (k * g < nc) & ~jnp.all(occ, axis=1)
         cv0 = accel.v0[cid].reshape(size, -1, 3)
         ce1 = accel.e1[cid].reshape(size, -1, 3)
@@ -642,7 +624,7 @@ def any_hit_packets(
         return (occ,)
 
     carry, blk_index = _cascade_traverse(
-        nb,
+        (o_blk, d_blk, tmax_blk, n_cand, order_g),
         (jnp.zeros((nb, block_size), bool),),
         sweep_update,
         active_fn,
