@@ -70,3 +70,17 @@ def test_uneven_pixels_padded(scene):
                          block_size=64, pix_chunk=1 << 8)
     assert img.shape == (13, 37, 3)
     assert np.isfinite(img).all()
+
+
+def test_cli_tile_devices(scene, tmp_path):
+    """--tile-devices end-to-end through the CLI on the virtual mesh."""
+    obj = tmp_path / "tri.obj"
+    obj.write_text("v -1 0 -1\nv 1 0 -1\nv 0 2 -1\nf 1 2 3\n")
+    out = str(tmp_path / "tiled.png")
+    from path_tracer_ai_tpu.cli import main
+    from path_tracer_ai_tpu.io.png import read_png
+
+    rc = main(["-m", "tpu", "-w", "24", "-h", "12", "-s", "2", "-b", "2",
+               "-i", str(obj), "-o", out, "--tile-devices", "8"])
+    assert rc == 0
+    assert read_png(out).shape == (12, 24, 3)
