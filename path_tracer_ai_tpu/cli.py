@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint every N sample-passes (0 = only at end)")
     p.add_argument("--tile-devices", type=int, default=0,
                    help="shard the framebuffer across N devices (0 = single device)")
+    p.add_argument("--scheduler", default="wave", choices=["wave", "pool"],
+                   help="wavefront scheduler: bounded-depth waves or "
+                        "persistent pool with on-device ray regeneration")
     p.add_argument("--validate", action="store_true",
                    help="audit the final image for NaN/Inf/sentinel pixels")
     p.add_argument("--profile", default=None, metavar="DIR",
@@ -113,6 +116,7 @@ def main(argv=None) -> int:
                 checkpoint_path=args.checkpoint,
                 checkpoint_every=args.checkpoint_every,
                 tile_devices=args.tile_devices or None,
+                scheduler=args.scheduler,
             )
         except Exception as e:  # noqa: BLE001 — mirror whole-pipeline fallback
             log.error("Accelerated rendering failed: %s", e)
