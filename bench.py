@@ -67,17 +67,17 @@ def main():
     # Warmup/compile pass with identical wave shapes (compiled executable is
     # cached across render() calls; sample count is a traced operand).
     npix = args.width * args.height
-    sc = max(1, min((1 << 19) // min(npix, 1 << 19), args.spp))
+    sc = max(1, min((1 << 20) // min(npix, 1 << 20), args.spp))
     warm = settings.replace(samples_per_pixel=sc)
     t0 = time.perf_counter()
     wavefront.render(scene, camera, warm, accel=accel, block_size=64,
-                     wave_size=1 << 19)
+                     wave_size=1 << 20)
     log(f"warmup (compile) pass: {time.perf_counter() - t0:.1f}s")
 
     stats = wavefront.RenderStats()
     t0 = time.perf_counter()
     img = wavefront.render(scene, camera, settings, accel=accel, stats=stats,
-                           block_size=64, wave_size=1 << 19)
+                           block_size=64, wave_size=1 << 20)
     wall = time.perf_counter() - t0
     log(
         f"render {args.width}x{args.height}@{args.spp}spp/{args.bounces}b: "

@@ -350,7 +350,7 @@ def render(
     camera: Camera,
     settings: RenderSettings,
     accel: Optional[ClusterAccel] = None,
-    wave_size: int = 1 << 19,
+    wave_size: int = 1 << 20,
     block_size: int = 64,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
