@@ -240,7 +240,7 @@ def _unpermute_blocks(arr, blk_index):
     return arr[inv]
 
 
-def _perray_candidates(accel: ClusterAccel, origins, directions, t_max,
+def _perray_candidates(accel: ClusterAccel, origins, directions, t_min, t_max,
                        cap: int, row_chunk: int = 1 << 14,
                        order_mode: str = "id"):
     """EXACT per-ray candidate clusters, capped at `cap` per ray.
@@ -268,12 +268,16 @@ def _perray_candidates(accel: ClusterAccel, origins, directions, t_max,
         t1 = (accel.bmax[None] - oc[:, None, :]) * inv[:, None, :]
         near = jnp.where(inv[:, None, :] < 0.0, t1, t0)
         far = jnp.where(inv[:, None, :] < 0.0, t0, t1)
-        lo = jnp.full(near.shape[:2], jnp.float32(1.0e-3))
+        lo = jnp.full(near.shape[:2], jnp.float32(t_min))
         hi = jnp.minimum(jnp.broadcast_to(tc[:, None], near.shape[:2]), jnp.inf)
         for a in range(3):
             lo = jnp.where(near[..., a] > lo, near[..., a], lo)
             hi = jnp.where(far[..., a] < hi, far[..., a], hi)
-        cand = hi > lo                                     # aabb.hpp:21 rule
+        # INCLUSIVE bound: a cluster AABB that is flat along an axis
+        # (coplanar triangle group) has entry == exit == hit t; the strict
+        # `>` of aabb.hpp:21 would EXCLUDE it, breaking the exactness
+        # contract (conservative culling may over-include, never exclude).
+        cand = hi >= lo
         c = cand.shape[1]
         n_cand = jnp.sum(cand, axis=1).astype(jnp.int32)
         if order_mode == "entry":
@@ -331,7 +335,7 @@ def closest_hit_perray(
     n = origins.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     order, n_cand, _entry, overflow = _perray_candidates(
-        accel, origins, directions, t_max, cap
+        accel, origins, directions, t_min, t_max, cap
     )
     # overflow rays are handled entirely by the fallback
     n_cand = jnp.where(overflow, 0, n_cand)
@@ -413,7 +417,7 @@ def any_hit_perray(
     n = origins.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     order, n_cand, _entry, overflow = _perray_candidates(
-        accel, origins, directions, t_max, cap
+        accel, origins, directions, t_min, t_max, cap
     )
     n_cand = jnp.where(overflow, 0, n_cand)
 

@@ -225,7 +225,7 @@ def _render_wave(
     ),
 )
 def _render_pool(
-    scene, accel, camera, base_key, xs, ys, spp,
+    scene, accel, camera, base_key, xs, ys, s_start, spp,
     *, w, h, pix_chunk, pool_size, block_size, max_bounces, aspect,
     use_pallas=False,
 ):
@@ -246,14 +246,17 @@ def _render_pool(
     closest, occlude = packet_backend(accel, block_size, use_pallas=use_pallas)
     p = pix_chunk
     n_l = pool_size
-    total = p * spp  # traced scalar
+    # Resume support: emission starts at sample s_start (samples < s_start
+    # are already in the loaded accumulators — re-rendering them would
+    # double-count). Both s_start and spp are traced scalars.
+    total = p * (spp - s_start)
 
     pix_global_all = (ys * w + xs).astype(jnp.int32)  # [P]
 
     def emit(eids):
         """Camera rays + streams for emission indices [L] (sample-major)."""
-        pl_ = eids % p          # chunk-local pixel slot
-        s = eids // p           # sample index
+        pl_ = eids % p                    # chunk-local pixel slot
+        s = s_start + eids // p           # global sample index
         pg = pix_global_all[pl_]
         keys = jax.vmap(lambda a, b: _fold_all(base_key, a, b))(pg, s)
         kj = jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, 0)
@@ -369,7 +372,23 @@ def render(
     if tile_devices:
         from path_tracer_ai_tpu.parallel.mesh import render_tiled
 
-        return render_tiled(scene, camera, settings, n_devices=tile_devices)
+        if checkpoint_path or scheduler != "wave":
+            log.warning(
+                "tile_devices path supports neither checkpointing nor the "
+                "%r scheduler; rendering without them", scheduler,
+            )
+        if stats is not None:
+            log.warning("tile_devices path does not populate RenderStats")
+        if settings.seed is None:
+            # Entropy-seed exactly like the single-device path below (the
+            # sharded path treats seed=None as 0 otherwise).
+            settings = settings.replace(
+                seed=int.from_bytes(np.random.bytes(4), "little")
+            )
+        return render_tiled(
+            scene, camera, settings, n_devices=tile_devices,
+            accel=accel, block_size=block_size,
+        )
 
     w, h, spp = settings.width, settings.height, settings.samples_per_pixel
     aspect = settings.aspect_ratio()
@@ -443,7 +462,7 @@ def render(
                 # only for slots < hi-lo, so crop the accumulators below.
                 a, c, nc, ns = _render_pool(
                     scene, accel, camera, base_key,
-                    jnp.asarray(xs), jnp.asarray(ys), spp,
+                    jnp.asarray(xs), jnp.asarray(ys), s_start, spp,
                     w=w, h=h, pix_chunk=pix_chunk, pool_size=lanes_padded,
                     block_size=block_size, max_bounces=settings.max_bounces,
                     aspect=aspect, use_pallas=use_pallas,

@@ -193,6 +193,67 @@ class TestPerRayTraversal:
         ba = any_hit(tris, o, d, 1e-3, tmax)
         np.testing.assert_array_equal(np.asarray(pa), np.asarray(ba))
 
+    def test_coplanar_cluster_flat_aabb(self, rng):
+        """A cluster whose AABB is flat along an axis (coplanar axis-aligned
+        triangles, entry == exit == hit t) must NOT be culled: the slab
+        bound is inclusive. Regression for the strict `hi > lo` exclusion."""
+        from path_tracer_ai_tpu.accel.traverse import (
+            any_hit_perray,
+            closest_hit_perray,
+        )
+
+        # 64 coplanar triangles tiling the y=0 plane -> every cluster flat in y
+        cells = []
+        for i in range(8):
+            for j in range(8):
+                x, z = i - 4.0, j - 4.0
+                cells.append(([x, 0, z], [x + 1, 0, z], [x, 0, z + 1]))
+        v0 = np.asarray([c[0] for c in cells], np.float32)
+        v1 = np.asarray([c[1] for c in cells], np.float32)
+        v2 = np.asarray([c[2] for c in cells], np.float32)
+        n = np.tile([[0, 1, 0]], (64, 1)).astype(np.float32)
+        uv = np.zeros((64, 2), np.float32)
+        tris = triangles_from_numpy(v0, v1, v2, n, n, n, uv, uv, uv,
+                                    np.zeros(64, np.int32))
+        accel = build_clusters(tris, cluster_size=16)
+        assert (np.asarray(accel.bmax)[:, 1] == np.asarray(accel.bmin)[:, 1]).all()
+
+        o = jnp.asarray(rng.uniform(-3.5, 3.5, (64, 3)).astype(np.float32))
+        o = o.at[:, 1].set(2.0)
+        d = rng.standard_normal((64, 3)).astype(np.float32)
+        d[:, 1] = -np.abs(d[:, 1]) - 0.5  # downward: all rays cross y=0
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        d = jnp.asarray(d)
+
+        bh = closest_hit(tris, o, d, 1e-3, np.inf)
+        # half-covered floor (one tri per cell): expect roughly half the rays
+        assert np.asarray(bh.hit).sum() > 16
+        ph = closest_hit_perray(accel, o, d, 1e-3, np.inf)
+        np.testing.assert_array_equal(np.asarray(ph.hit), np.asarray(bh.hit))
+        m = np.asarray(bh.hit)
+        np.testing.assert_allclose(np.asarray(ph.t)[m], np.asarray(bh.t)[m],
+                                   rtol=1e-5)
+        pa = any_hit_perray(accel, o, d, 1e-3, jnp.full((64,), np.inf))
+        ba = any_hit(tris, o, d, 1e-3, np.inf)
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(ba))
+
+    def test_tmin_respected(self, rng):
+        """t_min below RAY_TMIN must not cull clusters intersected only in
+        [t_min, RAY_TMIN) (regression for the hardcoded slab lower bound)."""
+        from path_tracer_ai_tpu.accel.traverse import closest_hit_perray
+
+        tris = random_soup(rng, 100, spread=1.0, size=0.3)
+        accel = build_clusters(tris, cluster_size=8)
+        # origins ON the soup: hits can land inside [1e-5, 1e-3)
+        o = jnp.asarray(np.asarray(tris.v0)[:64] + 1e-4)
+        _, d = random_rays(rng, 64)
+        ph = closest_hit_perray(accel, o, d, 1e-5, np.inf)
+        bh = closest_hit(tris, o, d, 1e-5, np.inf)
+        np.testing.assert_array_equal(np.asarray(ph.hit), np.asarray(bh.hit))
+        m = np.asarray(bh.hit)
+        np.testing.assert_allclose(np.asarray(ph.t)[m], np.asarray(bh.t)[m],
+                                   rtol=1e-5)
+
     def test_dead_rays(self, rng):
         from path_tracer_ai_tpu.accel.traverse import closest_hit_perray
 

@@ -113,6 +113,36 @@ def test_spp_not_divisible_by_chunk(room_scene):
     assert np.abs(img5.mean() - img_ref.mean()) < 0.05
 
 
+def test_pool_resume_starts_at_checkpoint_sample(room_scene, tmp_path):
+    """Resuming a partial checkpoint in pool mode must NOT re-render (and
+    double-count) the samples already in the accumulators."""
+    ck = str(tmp_path / "pool.ckpt")
+    cam = default_camera()
+    s = SETTINGS.replace(samples_per_pixel=8)
+
+    img_full = wavefront.render(room_scene, cam, s, wave_size=48 * 27 * 2,
+                                block_size=64, scheduler="pool")
+
+    # Halfway checkpoint, rewritten under the full-run fingerprint (as in
+    # test_checkpoint_resume_identical).
+    s_half = s.replace(samples_per_pixel=4)
+    wavefront.render(room_scene, cam, s_half, wave_size=48 * 27 * 2,
+                     block_size=64, checkpoint_path=ck)
+    from path_tracer_ai_tpu.io import checkpoint as ckpt_io
+
+    acc, cnt, next_s = ckpt_io.load(
+        ck, ckpt_io.fingerprint(s_half, room_scene.triangles.count, 11)
+    )
+    assert next_s == 4
+    ckpt_io.save(ck, acc, cnt, next_s,
+                 ckpt_io.fingerprint(s, room_scene.triangles.count, 11))
+
+    img_resumed = wavefront.render(room_scene, cam, s, wave_size=48 * 27 * 2,
+                                   block_size=64, checkpoint_path=ck,
+                                   scheduler="pool")
+    np.testing.assert_allclose(img_full, img_resumed, atol=1e-6)
+
+
 def test_pool_scheduler_matches_wave(room_scene):
     """Regeneration must be invisible to radiance: RNG streams depend only on
     (pixel, sample, bounce), never on lane scheduling."""
