@@ -55,6 +55,17 @@ def bounce_step(
     safe_tri = jnp.maximum(ch.tri, 0)  # packet backend uses -1 for miss
     attrs = intersect.hit_attributes(tris, o, d, ch.t, safe_tri)
     active = alive & ch.hit
+
+    # Invalid/null material -> magenta returned from this vertex and the
+    # path terminates (renderer.hpp:142-157). Unreachable from the loader
+    # (ids are always in range) but a documented reference behavior. A
+    # negative id is treated as invalid too, rather than reproducing the
+    # C++ out-of-bounds indexing it would cause.
+    n_materials = scene.materials.mtype.shape[0]
+    bad_mat = active & ((attrs.mat_id < 0) | (attrs.mat_id >= n_materials))
+    magenta = jnp.asarray([1.0, 0.0, 1.0], jnp.float32)
+    radiance = radiance + jnp.where(bad_mat[..., None], beta * magenta, 0.0)
+    active = active & ~bad_mat
     mats = gather_materials(scene.materials, attrs.mat_id)
 
     # RNG: one sub-stream per (lane, bounce, purpose).
@@ -69,9 +80,19 @@ def bounce_step(
     sphere = jax.vmap(lambda k: sampling.uniform_sphere(k))(k_sphere)
     fresnel_u = jax.vmap(lambda k: jax.random.uniform(k))(k_u)
 
+    n_shadow = n_lights * jnp.sum(active.astype(jnp.int32))
     direct = direct_lighting(
         scene.lights, occlude_fn, attrs.position, attrs.normal, -d, mats, active
     )
+    # Whole-sum isValidColor(directLight) check (renderer.hpp:161-163): a
+    # non-finite SUM (per-light contributions are already filtered, so only
+    # overflow of the sum can trip this) returns black from this vertex —
+    # nothing is added and the path terminates. Note the reference applies
+    # this to dielectric vertices via uninitialized-garbage brdf values
+    # (UB); here dielectric direct is exactly 0, so they never trip it.
+    direct_ok = jnp.all(jnp.isfinite(direct), axis=-1)
+    active = active & direct_ok
+
     bs = sample_bsdf(d, attrs.position, attrs.normal, mats, sphere, fresnel_u)
 
     add = (active & bs.adds_direct)[..., None]
@@ -80,7 +101,6 @@ def bounce_step(
     o = jnp.where(active[..., None], bs.origin, o)
     d = jnp.where(active[..., None], bs.direction, d)
     n_closest = jnp.sum(alive.astype(jnp.int32))
-    n_shadow = n_lights * jnp.sum(active.astype(jnp.int32))
     return o, d, beta, radiance, active, n_closest, n_shadow
 
 

@@ -162,3 +162,41 @@ def test_render_seed_changes_noise():
     img1 = oracle.render(scene, cam, s1)
     img2 = oracle.render(scene, cam, s2)
     assert not np.allclose(img1, img2)
+
+
+def test_invalid_material_id_returns_magenta():
+    """materialId >= materials.size() -> magenta from that vertex and the
+    path terminates (renderer.hpp:142-157)."""
+    lights = one_light((0, 2, 0))
+    mats = [HostMaterial(mtype=MATERIAL_DIFFUSE, albedo=(0.5, 0.5, 0.5))]
+    n = [[0, 1, 0]] * 2
+    uv = [[0, 0]] * 2
+    scene = build_scene_from_arrays(
+        [[-50, 0, -50], [-50, 0, -50]],
+        [[50, 0, -50], [50, 0, 50]],
+        [[50, 0, 50], [-50, 0, 50]],
+        n, n, n, uv, uv, uv, [7, 7],  # out of range: table has 1 entry
+        materials=mats, lights=lights,
+    )
+    L, valid = trace_one(scene, (0, 1, 0), (0, -1, 0), max_bounces=3)
+    assert valid
+    np.testing.assert_allclose(L, [1.0, 0.0, 1.0])
+
+
+def test_direct_light_sum_overflow_returns_black():
+    """Per-light contributions that are each finite but whose SUM overflows
+    to inf trip the whole-sum isValidColor(directLight) early return: black
+    from this vertex, path terminated (renderer.hpp:161-163)."""
+    huge = Lights(
+        # 1 unit above the hit point at the origin: attenuation = I/1.
+        position=jnp.asarray([[0, 1, 0], [0, 1, 0]], jnp.float32),
+        color=jnp.asarray([[1, 1, 1], [1, 1, 1]], jnp.float32),
+        # each contribution = (albedo/pi) * I ~ 3.2e38 (finite);
+        # the two-light sum overflows f32 to inf.
+        intensity=jnp.asarray([3.4e38, 3.4e38], jnp.float32),
+    )
+    scene = floor_scene(huge, albedo=(3.0, 3.0, 3.0))
+    L, valid = trace_one(scene, (0, 1, 0), (0, -1, 0), max_bounces=4)
+    assert valid
+    # nothing added at the overflowing vertex; deeper bounces cancelled
+    np.testing.assert_allclose(L, [0.0, 0.0, 0.0])
