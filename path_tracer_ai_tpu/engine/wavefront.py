@@ -53,15 +53,40 @@ def packet_backend(
     block_size: int = 256,
     use_pallas: bool = False,
     interpret: bool = False,
+    backend: Optional[str] = None,
 ):
     """Traversal backend over the cluster structure.
 
-    use_pallas=True selects the fused Pallas sweep kernels
-    (accel.pallas_sweep) — the production TPU path; False selects the pure
-    XLA cascade (accel.traverse) — the portable fallback and oracle for the
-    kernels.
+    backend selects the traversal architecture:
+    - "pairs" (production default): cluster-major exact pair tiles
+      (accel.pairs) — per-ray exact candidate work, dense [tile, S] sweeps.
+    - "packets": conservative block-cull cascade (accel.traverse) — the
+      round-1 path, kept as the pair path's overflow fallback and as an
+      independent exact implementation for cross-checks.
+    - "perray": per-ray cascade experiment (traverse.*_perray).
+    - "pallas": fused Pallas sweep kernels (accel.pallas_sweep).
+    Legacy flags: use_pallas=True -> "pallas"; block_size == 1 -> "perray".
     """
-    if use_pallas:
+    if backend is None:
+        if use_pallas:
+            backend = "pallas"
+        elif block_size == 1:
+            backend = "perray"
+        else:
+            backend = default_backend()
+
+    if backend == "pairs":
+        from path_tracer_ai_tpu.accel import pairs
+
+        def closest(o, d, t_min, t_max):
+            return pairs.closest_hit_pairs(accel, o, d, RAY_TMIN, t_max)
+
+        def occlude(o, d, t_max):
+            return pairs.any_hit_pairs(accel, o, d, RAY_TMIN, t_max)
+
+        return closest, occlude
+
+    if backend == "pallas":
         from path_tracer_ai_tpu.accel import pallas_sweep
 
         slab = pallas_sweep.build_slab_table(accel)
@@ -80,7 +105,7 @@ def packet_backend(
 
         return closest, occlude
 
-    if block_size == 1:
+    if backend == "perray":
         # Per-ray exact candidate lists (no blocking). Measured on v5e: the
         # per-ray candidate counts are ~25x smaller than block unions, but
         # scheduling overhead (cascade iterations over chunked [64k] rows)
@@ -148,6 +173,17 @@ def packet_backend(
     return closest, occlude
 
 
+def default_backend() -> str:
+    """Production traversal backend: cluster-major pair tiles.
+
+    Chosen over the round-1 "packets" cascade because pair tiles do exact
+    per-ray candidate work (no block-union waste, the measured round-1
+    ceiling) with zero per-item scheduling overhead; see
+    docs/ARCHITECTURE.md for the measured comparison.
+    """
+    return "pairs"
+
+
 def default_use_pallas() -> bool:
     """Backend default for the traversal kernels.
 
@@ -166,20 +202,22 @@ def default_use_pallas() -> bool:
     jax.jit,
     static_argnames=(
         "w", "h", "sc", "pix_chunk", "lanes_padded",
-        "block_size", "max_bounces", "aspect", "use_pallas",
+        "block_size", "max_bounces", "aspect", "use_pallas", "backend",
     ),
 )
 def _render_wave(
     scene, accel, camera, base_key, xs, ys, s0, spp,
     *, w, h, sc, pix_chunk, lanes_padded, block_size, max_bounces, aspect,
-    use_pallas=False,
+    use_pallas=False, backend=None,
 ):
     """One wave: `pix_chunk` pixels x `sc` consecutive samples.
 
     Top-level jit with static shape params so the compiled executable is
     cached ACROSS render() calls (scene/camera/key are traced operands).
     """
-    closest, occlude = packet_backend(accel, block_size, use_pallas=use_pallas)
+    closest, occlude = packet_backend(
+        accel, block_size, use_pallas=use_pallas, backend=backend
+    )
     n_lanes = pix_chunk * sc
 
     pix_idx = (ys * w + xs).astype(jnp.int32)              # [P]
@@ -221,13 +259,13 @@ def _render_wave(
     jax.jit,
     static_argnames=(
         "w", "h", "pix_chunk", "pool_size",
-        "block_size", "max_bounces", "aspect", "use_pallas",
+        "block_size", "max_bounces", "aspect", "use_pallas", "backend",
     ),
 )
 def _render_pool(
     scene, accel, camera, base_key, xs, ys, s_start, spp,
     *, w, h, pix_chunk, pool_size, block_size, max_bounces, aspect,
-    use_pallas=False,
+    use_pallas=False, backend=None,
 ):
     """Persistent-pool scheduler: ray compaction by REGENERATION.
 
@@ -243,7 +281,9 @@ def _render_pool(
     Emission order is sample-major (all pixels at sample s before s+1) so
     refilled lanes stay camera-coherent for the packet traversal.
     """
-    closest, occlude = packet_backend(accel, block_size, use_pallas=use_pallas)
+    closest, occlude = packet_backend(
+        accel, block_size, use_pallas=use_pallas, backend=backend
+    )
     p = pix_chunk
     n_l = pool_size
     # Resume support: emission starts at sample s_start (samples < s_start
@@ -362,6 +402,7 @@ def render(
     stats: Optional[RenderStats] = None,
     use_pallas: Optional[bool] = None,
     scheduler: str = "wave",
+    backend: Optional[str] = None,
 ) -> np.ndarray:
     """Full-frame wavefront render -> linear [H, W, 3] float32.
 
@@ -425,7 +466,7 @@ def render(
             w=w, h=h, sc=sc, pix_chunk=pix_chunk,
             lanes_padded=lanes_padded, block_size=block_size,
             max_bounces=settings.max_bounces, aspect=aspect,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, backend=backend,
         )
 
     ys_all, xs_all = np.mgrid[0:h, 0:w]
@@ -465,7 +506,7 @@ def render(
                     jnp.asarray(xs), jnp.asarray(ys), s_start, spp,
                     w=w, h=h, pix_chunk=pix_chunk, pool_size=lanes_padded,
                     block_size=block_size, max_bounces=settings.max_bounces,
-                    aspect=aspect, use_pallas=use_pallas,
+                    aspect=aspect, use_pallas=use_pallas, backend=backend,
                 )
                 acc[lo:hi] += np.asarray(a)[: hi - lo]
                 cnt[lo:hi] += np.asarray(c)[: hi - lo]

@@ -264,3 +264,141 @@ class TestPerRayTraversal:
         tmax[::2] = -1.0
         ph = closest_hit_perray(accel, o, d, 1e-3, jnp.asarray(tmax))
         assert not np.asarray(ph.hit)[::2].any()
+
+
+class TestPairTraversal:
+    """Cluster-major pair-tile traversal (accel.pairs): exact vs brute force."""
+
+    def _check_closest(self, tris, accel, o, d, t_max=np.inf, **kw):
+        from path_tracer_ai_tpu.accel.pairs import closest_hit_pairs
+
+        ph = closest_hit_pairs(accel, o, d, 1e-3, t_max, **kw)
+        bh = closest_hit(tris, o, d, 1e-3, t_max)
+        np.testing.assert_array_equal(np.asarray(ph.hit), np.asarray(bh.hit))
+        m = np.asarray(bh.hit)
+        np.testing.assert_allclose(np.asarray(ph.t)[m], np.asarray(bh.t)[m],
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(ph.tri)[m],
+                                      np.asarray(bh.tri)[m])
+
+    def test_closest_matches_bruteforce(self, rng):
+        tris = random_soup(rng, 500)
+        accel = build_clusters(tris, cluster_size=32)
+        o, d = random_rays(rng, 300)
+        self._check_closest(tris, accel, o, d)
+
+    def test_small_tiles_many_chunk_boundaries(self, rng):
+        tris = random_soup(rng, 300)
+        accel = build_clusters(tris, cluster_size=16)
+        o, d = random_rays(rng, 200)
+        self._check_closest(tris, accel, o, d, tile_rays=8, tile_chunk=2,
+                            row_chunk=64)
+
+    def test_candidate_cap_overflow_fallback(self, rng):
+        tris = random_soup(rng, 300, spread=2.0)
+        accel = build_clusters(tris, cluster_size=8)  # many clusters
+        o, d = random_rays(rng, 100, spread=3.0)
+        self._check_closest(tris, accel, o, d, cap=2)
+
+    def test_pair_budget_overflow_fallback(self, rng):
+        tris = random_soup(rng, 400, spread=2.0)
+        accel = build_clusters(tris, cluster_size=8)
+        o, d = random_rays(rng, 128, spread=3.0)
+        # budget of 1 pair/ray on a dense scene: most rays over budget
+        self._check_closest(tris, accel, o, d, pair_budget=1, tile_chunk=4)
+
+    def test_anyhit_matches_bruteforce(self, rng):
+        from path_tracer_ai_tpu.accel.pairs import any_hit_pairs
+
+        tris = random_soup(rng, 300)
+        accel = build_clusters(tris, cluster_size=16)
+        o, d = random_rays(rng, 150)
+        tmax = jnp.asarray(rng.uniform(0.3, 12.0, 150).astype(np.float32))
+        pa = any_hit_pairs(accel, o, d, 1e-3, tmax)
+        ba = any_hit(tris, o, d, 1e-3, tmax)
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(ba))
+
+    def test_coplanar_cluster_flat_aabb(self, rng):
+        cells = []
+        for i in range(8):
+            for j in range(8):
+                x, z = i - 4.0, j - 4.0
+                cells.append(([x, 0, z], [x + 1, 0, z], [x, 0, z + 1]))
+        v0 = np.asarray([c[0] for c in cells], np.float32)
+        v1 = np.asarray([c[1] for c in cells], np.float32)
+        v2 = np.asarray([c[2] for c in cells], np.float32)
+        n = np.tile([[0, 1, 0]], (64, 1)).astype(np.float32)
+        uv = np.zeros((64, 2), np.float32)
+        tris = triangles_from_numpy(v0, v1, v2, n, n, n, uv, uv, uv,
+                                    np.zeros(64, np.int32))
+        accel = build_clusters(tris, cluster_size=16)
+        o = jnp.asarray(rng.uniform(-3.5, 3.5, (64, 3)).astype(np.float32))
+        o = o.at[:, 1].set(2.0)
+        d = rng.standard_normal((64, 3)).astype(np.float32)
+        d[:, 1] = -np.abs(d[:, 1]) - 0.5
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        self._check_closest(tris, accel, o, jnp.asarray(d))
+
+    def test_dead_rays_produce_no_pairs(self, rng):
+        from path_tracer_ai_tpu.accel.pairs import (
+            build_pair_tables,
+            closest_hit_pairs,
+        )
+
+        tris = random_soup(rng, 200)
+        accel = build_clusters(tris, cluster_size=16)
+        o, d = random_rays(rng, 64)
+        tmax = np.full(64, np.inf, np.float32)
+        tmax[::2] = -1.0
+        ph = closest_hit_pairs(accel, o, d, 1e-3, jnp.asarray(tmax))
+        assert not np.asarray(ph.hit)[::2].any()
+        tables = build_pair_tables(accel, o, d, 1e-3, jnp.asarray(tmax))
+        assert (np.asarray(tables.n_cand)[::2] == 0).all()
+        # live lanes must still match brute force
+        bh = closest_hit(tris, o, d, 1e-3, jnp.asarray(tmax))
+        np.testing.assert_array_equal(np.asarray(ph.hit)[1::2],
+                                      np.asarray(bh.hit)[1::2])
+
+    def test_per_ray_tmax(self, rng):
+        tris = random_soup(rng, 400)
+        accel = build_clusters(tris, cluster_size=32)
+        o, d = random_rays(rng, 128)
+        tmax = jnp.asarray(rng.uniform(0.3, 12.0, 128).astype(np.float32))
+        self._check_closest(tris, accel, o, d, t_max=tmax)
+
+    def test_pair_table_invariants(self, rng):
+        """Every non-overflow ray's (ray, cluster) pairs land in the right
+        cluster segment exactly once."""
+        from path_tracer_ai_tpu.accel.pairs import build_pair_tables
+
+        tris = random_soup(rng, 300)
+        accel = build_clusters(tris, cluster_size=32)
+        o, d = random_rays(rng, 100)
+        tmax = jnp.full((100,), np.inf, jnp.float32)
+        tb = build_pair_tables(accel, o, d, 1e-3, tmax, tile_rays=8)
+        pair_ray = np.asarray(tb.pair_ray)
+        dst = np.asarray(tb.dst)
+        n_cand = np.asarray(tb.n_cand)
+        overflow = np.asarray(tb.overflow)
+        tile_cluster = np.asarray(tb.tile_cluster)
+        for r in range(100):
+            if overflow[r]:
+                continue
+            for k in range(n_cand[r]):
+                p = dst[r, k]
+                assert pair_ray[p] == r
+        # each live pair slot's tile cluster must really list that cluster
+        bmin = np.asarray(accel.bmin)
+        bmax = np.asarray(accel.bmax)
+        on = np.asarray(o)
+        dn = np.asarray(d)
+        for p in np.nonzero(pair_ray >= 0)[0][:200]:
+            r = pair_ray[p]
+            cl = tile_cluster[p // 8]
+            # slab re-check in numpy: ray r must intersect cluster cl's AABB
+            inv = 1.0 / dn[r]
+            t0 = (bmin[cl] - on[r]) * inv
+            t1 = (bmax[cl] - on[r]) * inv
+            lo = max(np.minimum(t0, t1).max(), 1e-3)
+            hi = np.maximum(t0, t1).min()
+            assert hi >= lo - 1e-4
