@@ -261,11 +261,89 @@ def _sweep_tiles(
     return jax.lax.fori_loop(0, n_tile_chunks, body, init)
 
 
+def _overflow_fallback(
+    accel: ClusterAccel,
+    origins,
+    directions,
+    t_min,
+    t_max,
+    overflow,
+    want_tri: bool,
+    compact_cap: int,
+    fallback_block: int,
+):
+    """Packet-path completion for overflow rays, costed to the actual need.
+
+    Overflow is rare by construction (candidate cap + pair budget are sized
+    for the tails), so the common cases must be cheap: a lax.cond ladder
+    runs NOTHING when no ray overflowed, a small gathered wave (compact_cap
+    rays) when few did, and the full-wave packet pass only as a last
+    resort. Returns wave-aligned arrays that are meaningful on overflow
+    lanes only.
+    """
+    n = origins.shape[0]
+    count = jnp.sum(overflow.astype(jnp.int32))
+
+    if want_tri:
+        empty = (jnp.full((n,), jnp.inf, jnp.float32),
+                 jnp.full((n,), -1, jnp.int32))
+    else:
+        empty = (jnp.zeros((n,), bool),)
+
+    def full_branch(_):
+        pad = (-n) % fallback_block
+        fo = jnp.pad(origins, ((0, pad), (0, 0)))
+        fd = jnp.pad(directions, ((0, pad), (0, 0)), constant_values=1.0)
+        ftm = jnp.pad(jnp.where(overflow, t_max, -1.0), (0, pad),
+                      constant_values=-1.0)
+        if want_tri:
+            fb = traverse.closest_hit_packets(
+                accel, fo, fd, t_min, ftm, block_size=fallback_block
+            )
+            return fb.t[:n], fb.tri[:n]
+        fb = traverse.any_hit_packets(
+            accel, fo, fd, t_min, ftm, block_size=fallback_block
+        )
+        return (fb[:n],)
+
+    k = -(-compact_cap // fallback_block) * fallback_block
+    if n <= k:
+        return jax.lax.cond(count > 0, full_branch, lambda _: empty, None)
+
+    def compact_branch(_):
+        # Gather the overflow rays into a small dense wave. fill_value=n is
+        # out of range: gathers clamp (dead lanes), scatters drop.
+        idx = jnp.nonzero(overflow, size=k, fill_value=n)[0].astype(jnp.int32)
+        live = jnp.arange(k, dtype=jnp.int32) < count
+        gi = jnp.minimum(idx, n - 1)
+        o = origins[gi]
+        d = jnp.where(live[:, None], directions[gi], 1.0)
+        tm = jnp.where(live, t_max[gi], -1.0)
+        if want_tri:
+            fb = traverse.closest_hit_packets(
+                accel, o, d, t_min, tm, block_size=fallback_block
+            )
+            t_full = empty[0].at[idx].set(fb.t, mode="drop")
+            tri_full = empty[1].at[idx].set(fb.tri, mode="drop")
+            return t_full, tri_full
+        fb = traverse.any_hit_packets(
+            accel, o, d, t_min, tm, block_size=fallback_block
+        )
+        return (empty[0].at[idx].set(fb, mode="drop"),)
+
+    return jax.lax.cond(
+        count == 0,
+        lambda _: empty,
+        lambda _: jax.lax.cond(count <= k, compact_branch, full_branch, _),
+        None,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "cap", "pair_budget", "tile_rays", "row_chunk", "tile_chunk",
-        "fallback_block",
+        "fallback_block", "fallback_compact",
     ),
 )
 def closest_hit_pairs(
@@ -280,6 +358,7 @@ def closest_hit_pairs(
     row_chunk: int = 1 << 15,
     tile_chunk: int = 256,
     fallback_block: int = 64,
+    fallback_compact: int = 4096,
 ) -> PacketHit:
     """Closest hit via cluster-major pair tiles; exact for every ray."""
     n = origins.shape[0]
@@ -305,16 +384,12 @@ def closest_hit_pairs(
     best_tri = jnp.min(trik, axis=1)
 
     # Overflow rays (candidate cap / pair budget) via the packet path.
-    pad = (-n) % fallback_block
-    fo = jnp.pad(origins, ((0, pad), (0, 0)))
-    fd = jnp.pad(directions, ((0, pad), (0, 0)), constant_values=1.0)
-    ftm = jnp.pad(jnp.where(tables.overflow, t_max, -1.0), (0, pad),
-                  constant_values=-1.0)
-    fb = traverse.closest_hit_packets(
-        accel, fo, fd, t_min, ftm, block_size=fallback_block
+    fb_t, fb_tri = _overflow_fallback(
+        accel, origins, directions, t_min, t_max, tables.overflow,
+        want_tri=True, compact_cap=fallback_compact, fallback_block=fallback_block,
     )
-    best_t = jnp.where(tables.overflow, fb.t[:n], best_t)
-    best_tri = jnp.where(tables.overflow, fb.tri[:n], best_tri)
+    best_t = jnp.where(tables.overflow, fb_t, best_t)
+    best_tri = jnp.where(tables.overflow, fb_tri, best_tri)
 
     hit = jnp.isfinite(best_t)
     return PacketHit(hit=hit, t=best_t, tri=jnp.where(hit, best_tri, -1))
@@ -324,7 +399,7 @@ def closest_hit_pairs(
     jax.jit,
     static_argnames=(
         "cap", "pair_budget", "tile_rays", "row_chunk", "tile_chunk",
-        "fallback_block",
+        "fallback_block", "fallback_compact",
     ),
 )
 def any_hit_pairs(
@@ -339,6 +414,7 @@ def any_hit_pairs(
     row_chunk: int = 1 << 15,
     tile_chunk: int = 256,
     fallback_block: int = 64,
+    fallback_compact: int = 4096,
 ) -> jnp.ndarray:
     """Occlusion query via cluster-major pair tiles; exact for every ray."""
     n = origins.shape[0]
@@ -358,12 +434,9 @@ def any_hit_pairs(
     valid_k = tables.dst < p_cap
     occluded = jnp.any(valid_k & occ_pair[dstc], axis=1)
 
-    pad = (-n) % fallback_block
-    fo = jnp.pad(origins, ((0, pad), (0, 0)))
-    fd = jnp.pad(directions, ((0, pad), (0, 0)), constant_values=1.0)
-    ftm = jnp.pad(jnp.where(tables.overflow, t_max, -1.0), (0, pad),
-                  constant_values=-1.0)
-    fb = traverse.any_hit_packets(
-        accel, fo, fd, t_min, ftm, block_size=fallback_block
+    (fb_occ,) = _overflow_fallback(
+        accel, origins, directions, t_min, t_max, tables.overflow,
+        want_tri=False, compact_cap=fallback_compact,
+        fallback_block=fallback_block,
     )
-    return jnp.where(tables.overflow, fb[:n], occluded)
+    return jnp.where(tables.overflow, fb_occ, occluded)

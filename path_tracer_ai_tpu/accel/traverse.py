@@ -65,25 +65,17 @@ def _sort_keys(accel: ClusterAccel, origins, directions, t_max=None):
     return key
 
 
-def _block_candidates(accel, o_blk, d_blk, t_max_blk):
-    """Conservative candidate clusters per ray block.
+def _block_interval_bounds(accel, o_blk, d_blk):
+    """Interval-arithmetic slab bounds of ray blocks vs all cluster AABBs.
 
-    o_blk, d_blk: [B, R, 3] sorted rays; t_max_blk: [B, R].
-    Returns (order [B, C] candidate cluster ids sorted by conservative entry,
-             n_cand [B]).
-
-    Correctness argument: for any ray r in the block and any axis a,
-    entry_a(r) >= LB_a and exit_a(r) <= UB_a where LB/UB are interval-
-    arithmetic bounds over the block's origin/direction ranges. Hence
-    max_a LB_a <= max_a entry_a(r) and min_a UB_a >= min_a exit_a(r); if a
-    member ray intersects the slab (max_a entry < min_a exit, aabb.hpp:21),
-    the conservative test max_a LB_a <= min_a UB_a also passes.
+    o_blk, d_blk: [B, R, 3]. Returns (lb, ub) [B, C]: for every member ray,
+    its slab entry >= lb and exit <= ub (see _block_candidates' correctness
+    argument).
     """
     olo = jnp.min(o_blk, axis=1)   # [B, 3]
     ohi = jnp.max(o_blk, axis=1)
     dlo = jnp.min(d_blk, axis=1)
     dhi = jnp.max(d_blk, axis=1)
-    tmax_ub = jnp.max(t_max_blk, axis=1)  # [B]
 
     inf = jnp.float32(jnp.inf)
     lb = jnp.full((o_blk.shape[0], accel.num_clusters), -inf)
@@ -110,6 +102,26 @@ def _block_candidates(accel, o_blk, d_blk, t_max_blk):
         axis_ub = jnp.where(spans_zero, inf, qmax)
         lb = jnp.maximum(lb, axis_lb)
         ub = jnp.minimum(ub, axis_ub)
+    return lb, ub
+
+
+def _block_candidates(accel, o_blk, d_blk, t_max_blk):
+    """Conservative candidate clusters per ray block.
+
+    o_blk, d_blk: [B, R, 3] sorted rays; t_max_blk: [B, R].
+    Returns (order [B, C] candidate cluster ids sorted by conservative entry,
+             n_cand [B]).
+
+    Correctness argument: for any ray r in the block and any axis a,
+    entry_a(r) >= LB_a and exit_a(r) <= UB_a where LB/UB are interval-
+    arithmetic bounds over the block's origin/direction ranges. Hence
+    max_a LB_a <= max_a entry_a(r) and min_a UB_a >= min_a exit_a(r); if a
+    member ray intersects the slab (max_a entry < min_a exit, aabb.hpp:21),
+    the conservative test max_a LB_a <= min_a UB_a also passes.
+    """
+    lb, ub = _block_interval_bounds(accel, o_blk, d_blk)
+    tmax_ub = jnp.max(t_max_blk, axis=1)  # [B]
+    inf = jnp.float32(jnp.inf)
 
     cand = (lb <= ub) & (ub >= 0.0) & (lb <= tmax_ub[:, None])
     entry = jnp.where(cand, jnp.maximum(lb, 0.0), inf)

@@ -1,0 +1,382 @@
+"""Block-major work-list traversal: flat pair enumeration, zero scatters.
+
+A sibling of accel.pairs solving the same problem — make traversal work
+track the TRUE candidate count instead of worst-case while_loop bounds —
+with the opposite memory-layout tradeoff:
+
+- accel.pairs groups (ray, cluster) pairs CLUSTER-major: exact per-ray
+  candidate work, but packing the table needs one large permutation
+  scatter (measured slow on TPU: XLA serializes element scatters).
+- this module groups rays into small sorted blocks (default 8 lanes) and
+  enumerates (block, candidate-group) WORK ITEMS as one flat list. Because
+  an item's payload is just (block id, group index) and items of a block
+  are consecutive, the whole table is built from cumsums + searchsorted —
+  gathers only, NO scatter. Block rays are contiguous rows, so ray loads
+  are dense slices, and the per-ray waste is only the 8-lane candidate
+  union (vs the 64-lane unions that capped the round-1 cascade).
+
+Pipeline: SORT (coherence keys, traverse._sort_keys) -> CULL (conservative
+8-lane interval slab, exact-inclusive) -> ENUMERATE (items via cumsum /
+searchsorted) -> SWEEP (dense [items, 8, group*S] Möller–Trumbore chunks
+with a DYNAMIC trip count) -> RESOLVE (each block gathers its own item
+rows; lexicographic (t, tri) tie rule = the brute-force oracle's).
+
+Blocks whose candidates exceed `cap` or whose items exceed the static
+budget complete exactly via the compact packet fallback (accel.pairs).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from path_tracer_ai_tpu.accel.clusters import ClusterAccel
+from path_tracer_ai_tpu.accel.pairs import I32_MAX, _overflow_fallback
+from path_tracer_ai_tpu.accel.traverse import (
+    PacketHit,
+    _block_interval_bounds,
+    _mt_sweep,
+    _sort_keys,
+)
+
+
+class WorkList(NamedTuple):
+    item_block: jnp.ndarray  # [I] i32 block id per work item
+    ibase: jnp.ndarray       # [nb] i32 first item of each block
+    order_g: jnp.ndarray     # [nb, n_groups, g] candidate cluster ids
+    n_cand: jnp.ndarray      # [nb] i32 candidates per block (0 if overflow)
+    overflow: jnp.ndarray    # [nb] bool block completes via fallback
+    n_items: jnp.ndarray     # [] i32 REAL item count (dynamic sweep bound)
+
+
+def _build_worklist(
+    accel: ClusterAccel,
+    o_blk,        # [nb, B, 3] sorted ray blocks
+    d_blk,
+    tm_blk,       # [nb, B]
+    t_min,
+    cap: int,
+    group: int,
+    item_budget: int,
+    row_chunk: int,
+    item_align: int,
+) -> WorkList:
+    nb = o_blk.shape[0]
+    c = accel.num_clusters
+    g = group
+    i_cap = -(-(nb * item_budget) // item_align) * item_align
+
+    k_eff = min(cap, c)
+    n_groups = -(-k_eff // g)
+    targets = jnp.arange(1, k_eff + 1, dtype=jnp.int32)
+
+    pad_rows = (-nb) % row_chunk
+    if pad_rows:
+        o_blk = jnp.pad(o_blk, ((0, pad_rows), (0, 0), (0, 0)))
+        d_blk = jnp.pad(d_blk, ((0, pad_rows), (0, 0), (0, 0)),
+                        constant_values=1.0)
+        tm_blk = jnp.pad(tm_blk, ((0, pad_rows), (0, 0)),
+                         constant_values=-1.0)
+    nch = o_blk.shape[0] // row_chunk
+
+    def one_chunk(args):
+        oc, dc, tc = args
+        lb, ub = _block_interval_bounds(accel, oc, dc)
+        tmax_ub = jnp.max(tc, axis=1)
+        # Inclusive bound (flat AABBs must stay in) + dead-block kill.
+        cand = (
+            (lb <= ub) & (ub >= 0.0)
+            & (lb <= tmax_ub[:, None]) & (tmax_ub >= 0.0)[:, None]
+        )
+        n_cand = jnp.sum(cand, axis=1).astype(jnp.int32)
+        over = n_cand > cap
+        ci = (cand & ~over[:, None]).astype(jnp.int32)
+        row_cum = jnp.cumsum(ci, axis=1)
+        order = jax.vmap(
+            lambda row: jnp.searchsorted(row, targets, side="left")
+        )(row_cum).astype(jnp.int32)
+        order = jnp.minimum(order, c - 1)
+        return order, jnp.where(over, 0, n_cand), over
+
+    order, n_cand, overflow = jax.lax.map(
+        one_chunk,
+        (
+            o_blk.reshape(nch, row_chunk, -1, 3),
+            d_blk.reshape(nch, row_chunk, -1, 3),
+            tm_blk.reshape(nch, row_chunk, -1),
+        ),
+    )
+    order = order.reshape(-1, k_eff)[:nb]
+    n_cand = n_cand.reshape(-1)[:nb]
+    overflow = overflow.reshape(-1)[:nb]
+
+    m = -(-n_cand // g)                                      # items per block
+    ibase = jnp.cumsum(m) - m
+    # Blocks whose items spill past the static budget -> fallback.
+    over_budget = ibase + m > i_cap
+    overflow = overflow | over_budget
+    m = jnp.where(over_budget, 0, m)
+    n_cand = jnp.where(over_budget, 0, n_cand)
+    # Recompute bases with the spilled blocks dropped (keeps items packed).
+    ibase = jnp.cumsum(m) - m
+    n_items = jnp.sum(m)
+
+    # item j -> owning block, via one searchsorted over the item bases
+    # (gathers only; the monotone structure is what makes this scatter-free).
+    ends = ibase + m                                          # [nb]
+    item_block = (
+        jnp.searchsorted(ends, jnp.arange(i_cap, dtype=jnp.int32),
+                         side="right").astype(jnp.int32)
+    )
+    item_block = jnp.minimum(item_block, nb - 1)
+
+    pad_k = n_groups * g - k_eff
+    if pad_k:
+        order = jnp.pad(order, ((0, 0), (0, pad_k)))
+    order_g = order.reshape(nb, n_groups, g)
+    return WorkList(item_block, ibase, order_g, n_cand, overflow, n_items)
+
+
+def _sweep_items(
+    accel: ClusterAccel,
+    wl: WorkList,
+    o_blk,       # [nb, B, 3]
+    d_blk,
+    tm_blk,      # [nb, B]
+    t_min,
+    group: int,
+    item_chunk: int,
+    want_tri: bool,
+):
+    """Dense [chunk, B, g*S] sweeps over the flat item list (dynamic bound)."""
+    g = group
+    b = o_blk.shape[1]
+    i_cap = wl.item_block.shape[0]
+    ic = item_chunk
+    n_chunks = -(-wl.n_items // ic)                           # dynamic
+    n_groups = wl.order_g.shape[1]
+
+    t_items0 = jnp.full((i_cap, b), jnp.inf, jnp.float32)
+    tri_items0 = jnp.full((i_cap, b), I32_MAX, jnp.int32)
+    occ_items0 = jnp.zeros((i_cap, b), bool)
+
+    def body(i, carry):
+        start = i * ic
+        j = start + jnp.arange(ic, dtype=jnp.int32)
+        blk = jax.lax.dynamic_slice(wl.item_block, (start,), (ic,))
+        k = j - wl.ibase[blk]                                 # group index
+        k = jnp.clip(k, 0, n_groups - 1)
+        live_item = j < wl.n_items
+
+        cid = wl.order_g[blk, k]                              # [ic, g]
+        ob = o_blk[blk]                                       # [ic, B, 3]
+        db = d_blk[blk]
+        tb = jnp.where(live_item[:, None], tm_blk[blk], -1.0)
+
+        cv0 = accel.v0[cid].reshape(ic, g * accel.cluster_size, 3)
+        ce1 = accel.e1[cid].reshape(ic, -1, 3)
+        ce2 = accel.e2[cid].reshape(ic, -1, 3)
+
+        tt, ok = _mt_sweep(ob, db, cv0, ce1, ce2, t_min, tb)  # [ic, B, g*S]
+        # Mask candidate slots past the block's count (their order entries
+        # are searchsorted garbage pointing at cluster c-1).
+        slot_live = (
+            k[:, None] * g + jnp.arange(g, dtype=jnp.int32)[None, :]
+            < wl.n_cand[blk][:, None]
+        )                                                     # [ic, g]
+        mask = jnp.repeat(slot_live, accel.cluster_size, axis=1)[:, None, :]
+        ok = ok & mask
+        tt = jnp.where(ok, tt, jnp.inf)
+
+        if want_tri:
+            t_items, tri_items = carry
+            ct = jnp.min(tt, axis=-1)                         # [ic, B]
+            cti = accel.tri_id[cid].reshape(ic, 1, -1)
+            tri_min = jnp.min(
+                jnp.where((tt <= ct[..., None]) & ok, cti, I32_MAX), axis=-1
+            )
+            t_items = jax.lax.dynamic_update_slice(t_items, ct, (start, 0))
+            tri_items = jax.lax.dynamic_update_slice(
+                tri_items, tri_min, (start, 0)
+            )
+            return t_items, tri_items
+        (occ_items,) = carry
+        occ_items = jax.lax.dynamic_update_slice(
+            occ_items, jnp.any(ok, axis=-1), (start, 0)
+        )
+        return (occ_items,)
+
+    init = (t_items0, tri_items0) if want_tri else (occ_items0,)
+    return jax.lax.fori_loop(0, n_chunks, body, init)
+
+
+def _prepare_blocks(accel, origins, directions, t_max, block, sort):
+    """Pad to block granularity, sort for coherence, reshape to blocks."""
+    n = origins.shape[0]
+    pad = (-n) % block
+    o = jnp.pad(origins, ((0, pad), (0, 0)))
+    d = jnp.pad(directions, ((0, pad), (0, 0)), constant_values=1.0)
+    tm = jnp.pad(t_max, (0, pad), constant_values=-1.0)
+    npad = n + pad
+
+    if sort:
+        keys = _sort_keys(accel, o, d, tm)
+        perm = jnp.argsort(keys).astype(jnp.int32)
+        o, d, tm = o[perm], d[perm], tm[perm]
+    else:
+        perm = None
+
+    nb = npad // block
+    return (
+        o.reshape(nb, block, 3),
+        d.reshape(nb, block, 3),
+        tm.reshape(nb, block),
+        perm,
+        npad,
+    )
+
+
+def _unsort(arrs, perm, npad, n):
+    if perm is None:
+        return tuple(a[:n] for a in arrs)
+    inv = jnp.zeros((npad,), jnp.int32).at[perm].set(
+        jnp.arange(npad, dtype=jnp.int32)
+    )
+    return tuple(a[inv][:n] for a in arrs)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "block", "group", "cap", "item_budget", "row_chunk", "item_chunk",
+        "sort", "fallback_block", "fallback_compact",
+    ),
+)
+def closest_hit_worklist(
+    accel: ClusterAccel,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    t_min,
+    t_max,
+    block: int = 8,
+    group: int = 4,
+    cap: int = 32,
+    item_budget: int = 4,
+    row_chunk: int = 1 << 13,
+    item_chunk: int = 1024,
+    sort: bool = True,
+    fallback_block: int = 64,
+    fallback_compact: int = 4096,
+) -> PacketHit:
+    """Closest hit via the block-major work list; exact for every ray."""
+    n = origins.shape[0]
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    o_blk, d_blk, tm_blk, perm, npad = _prepare_blocks(
+        accel, origins, directions, t_max, block, sort
+    )
+    wl = _build_worklist(
+        accel, o_blk, d_blk, tm_blk, t_min, cap, group, item_budget,
+        row_chunk, item_align=item_chunk,
+    )
+    t_items, tri_items = _sweep_items(
+        accel, wl, o_blk, d_blk, tm_blk, t_min, group, item_chunk,
+        want_tri=True,
+    )
+
+    # RESOLVE: each block min-reduces its own (contiguous) item rows.
+    n_groups = wl.order_g.shape[1]
+    i_cap = wl.item_block.shape[0]
+    nb = o_blk.shape[0]
+    rows = wl.ibase[:, None] + jnp.arange(n_groups, dtype=jnp.int32)[None, :]
+    m = -(-wl.n_cand // group)
+    row_live = jnp.arange(n_groups, dtype=jnp.int32)[None, :] < m[:, None]
+    rowsc = jnp.minimum(rows, i_cap - 1)
+    tk = jnp.where(row_live[..., None], t_items[rowsc], jnp.inf)  # [nb,G,B]
+    best_t = jnp.min(tk, axis=1)                                  # [nb, B]
+    trik = jnp.where(
+        row_live[..., None] & (tk <= best_t[:, None, :]),
+        tri_items[rowsc], I32_MAX,
+    )
+    best_tri = jnp.min(trik, axis=1)
+
+    (best_t_u, best_tri_u) = _unsort(
+        (best_t.reshape(-1), best_tri.reshape(-1)), perm, npad, n
+    )
+
+    # Fallback for overflow blocks (their rays, compacted).
+    over_blk = wl.overflow[:, None] & jnp.broadcast_to(
+        jnp.ones((1, block), bool), (nb, block)
+    )
+    (overflow_ray,) = _unsort((over_blk.reshape(-1),), perm, npad, n)
+    fb_t, fb_tri = _overflow_fallback(
+        accel, origins, directions, t_min, t_max, overflow_ray,
+        want_tri=True, compact_cap=fallback_compact,
+        fallback_block=fallback_block,
+    )
+    best_t_u = jnp.where(overflow_ray, fb_t, best_t_u)
+    best_tri_u = jnp.where(overflow_ray, fb_tri, best_tri_u)
+
+    hit = jnp.isfinite(best_t_u)
+    return PacketHit(hit=hit, t=best_t_u, tri=jnp.where(hit, best_tri_u, -1))
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "block", "group", "cap", "item_budget", "row_chunk", "item_chunk",
+        "sort", "fallback_block", "fallback_compact",
+    ),
+)
+def any_hit_worklist(
+    accel: ClusterAccel,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    t_min,
+    t_max,
+    block: int = 8,
+    group: int = 4,
+    cap: int = 32,
+    item_budget: int = 4,
+    row_chunk: int = 1 << 13,
+    item_chunk: int = 1024,
+    sort: bool = True,
+    fallback_block: int = 64,
+    fallback_compact: int = 4096,
+) -> jnp.ndarray:
+    """Occlusion query via the block-major work list; exact for every ray."""
+    n = origins.shape[0]
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    o_blk, d_blk, tm_blk, perm, npad = _prepare_blocks(
+        accel, origins, directions, t_max, block, sort
+    )
+    wl = _build_worklist(
+        accel, o_blk, d_blk, tm_blk, t_min, cap, group, item_budget,
+        row_chunk, item_align=item_chunk,
+    )
+    (occ_items,) = _sweep_items(
+        accel, wl, o_blk, d_blk, tm_blk, t_min, group, item_chunk,
+        want_tri=False,
+    )
+
+    n_groups = wl.order_g.shape[1]
+    i_cap = wl.item_block.shape[0]
+    rows = wl.ibase[:, None] + jnp.arange(n_groups, dtype=jnp.int32)[None, :]
+    m = -(-wl.n_cand // group)
+    row_live = jnp.arange(n_groups, dtype=jnp.int32)[None, :] < m[:, None]
+    rowsc = jnp.minimum(rows, i_cap - 1)
+    occ_blk = jnp.any(row_live[..., None] & occ_items[rowsc], axis=1)
+
+    (occ_u,) = _unsort((occ_blk.reshape(-1),), perm, npad, n)
+
+    nb = o_blk.shape[0]
+    over_blk = wl.overflow[:, None] & jnp.ones((nb, o_blk.shape[1]), bool)
+    (overflow_ray,) = _unsort((over_blk.reshape(-1),), perm, npad, n)
+    (fb_occ,) = _overflow_fallback(
+        accel, origins, directions, t_min, t_max, overflow_ray,
+        want_tri=False, compact_cap=fallback_compact,
+        fallback_block=fallback_block,
+    )
+    return jnp.where(overflow_ray, fb_occ, occ_u)

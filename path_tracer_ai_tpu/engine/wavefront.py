@@ -86,6 +86,17 @@ def packet_backend(
 
         return closest, occlude
 
+    if backend == "worklist":
+        from path_tracer_ai_tpu.accel import worklist
+
+        def closest(o, d, t_min, t_max):
+            return worklist.closest_hit_worklist(accel, o, d, RAY_TMIN, t_max)
+
+        def occlude(o, d, t_max):
+            return worklist.any_hit_worklist(accel, o, d, RAY_TMIN, t_max)
+
+        return closest, occlude
+
     if backend == "pallas":
         from path_tracer_ai_tpu.accel import pallas_sweep
 

@@ -402,3 +402,97 @@ class TestPairTraversal:
             lo = max(np.minimum(t0, t1).max(), 1e-3)
             hi = np.maximum(t0, t1).min()
             assert hi >= lo - 1e-4
+
+
+class TestWorklistTraversal:
+    """Block-major work-list traversal (accel.worklist): exact vs brute force."""
+
+    def _check_closest(self, tris, accel, o, d, t_max=np.inf, **kw):
+        from path_tracer_ai_tpu.accel.worklist import closest_hit_worklist
+
+        ph = closest_hit_worklist(accel, o, d, 1e-3, t_max, **kw)
+        bh = closest_hit(tris, o, d, 1e-3, t_max)
+        np.testing.assert_array_equal(np.asarray(ph.hit), np.asarray(bh.hit))
+        m = np.asarray(bh.hit)
+        np.testing.assert_allclose(np.asarray(ph.t)[m], np.asarray(bh.t)[m],
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(ph.tri)[m],
+                                      np.asarray(bh.tri)[m])
+
+    def test_closest_matches_bruteforce(self, rng):
+        tris = random_soup(rng, 500)
+        accel = build_clusters(tris, cluster_size=32)
+        o, d = random_rays(rng, 300)
+        self._check_closest(tris, accel, o, d)
+
+    def test_unsorted_and_small_chunks(self, rng):
+        tris = random_soup(rng, 300)
+        accel = build_clusters(tris, cluster_size=16)
+        o, d = random_rays(rng, 200)
+        self._check_closest(tris, accel, o, d, sort=False, block=4, group=2,
+                            item_chunk=8, row_chunk=16)
+
+    def test_cap_overflow_fallback(self, rng):
+        tris = random_soup(rng, 300, spread=2.0)
+        accel = build_clusters(tris, cluster_size=8)
+        o, d = random_rays(rng, 100, spread=3.0)
+        self._check_closest(tris, accel, o, d, cap=4)
+
+    def test_item_budget_overflow_fallback(self, rng):
+        tris = random_soup(rng, 400, spread=2.0)
+        accel = build_clusters(tris, cluster_size=8)
+        o, d = random_rays(rng, 128, spread=3.0)
+        self._check_closest(tris, accel, o, d, item_budget=1, item_chunk=8)
+
+    def test_anyhit_matches_bruteforce(self, rng):
+        from path_tracer_ai_tpu.accel.worklist import any_hit_worklist
+
+        tris = random_soup(rng, 300)
+        accel = build_clusters(tris, cluster_size=16)
+        o, d = random_rays(rng, 150)
+        tmax = jnp.asarray(rng.uniform(0.3, 12.0, 150).astype(np.float32))
+        pa = any_hit_worklist(accel, o, d, 1e-3, tmax)
+        ba = any_hit(tris, o, d, 1e-3, tmax)
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(ba))
+
+    def test_coplanar_cluster_flat_aabb(self, rng):
+        cells = []
+        for i in range(8):
+            for j in range(8):
+                x, z = i - 4.0, j - 4.0
+                cells.append(([x, 0, z], [x + 1, 0, z], [x, 0, z + 1]))
+        v0 = np.asarray([c[0] for c in cells], np.float32)
+        v1 = np.asarray([c[1] for c in cells], np.float32)
+        v2 = np.asarray([c[2] for c in cells], np.float32)
+        n = np.tile([[0, 1, 0]], (64, 1)).astype(np.float32)
+        uv = np.zeros((64, 2), np.float32)
+        tris = triangles_from_numpy(v0, v1, v2, n, n, n, uv, uv, uv,
+                                    np.zeros(64, np.int32))
+        accel = build_clusters(tris, cluster_size=16)
+        o = jnp.asarray(rng.uniform(-3.5, 3.5, (64, 3)).astype(np.float32))
+        o = o.at[:, 1].set(2.0)
+        d = rng.standard_normal((64, 3)).astype(np.float32)
+        d[:, 1] = -np.abs(d[:, 1]) - 0.5
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        self._check_closest(tris, accel, o, jnp.asarray(d))
+
+    def test_dead_rays(self, rng):
+        from path_tracer_ai_tpu.accel.worklist import closest_hit_worklist
+
+        tris = random_soup(rng, 200)
+        accel = build_clusters(tris, cluster_size=16)
+        o, d = random_rays(rng, 64)
+        tmax = np.full(64, np.inf, np.float32)
+        tmax[::2] = -1.0
+        ph = closest_hit_worklist(accel, o, d, 1e-3, jnp.asarray(tmax))
+        assert not np.asarray(ph.hit)[::2].any()
+        bh = closest_hit(tris, o, d, 1e-3, jnp.asarray(tmax))
+        np.testing.assert_array_equal(np.asarray(ph.hit)[1::2],
+                                      np.asarray(bh.hit)[1::2])
+
+    def test_per_ray_tmax(self, rng):
+        tris = random_soup(rng, 400)
+        accel = build_clusters(tris, cluster_size=32)
+        o, d = random_rays(rng, 128)
+        tmax = jnp.asarray(rng.uniform(0.3, 12.0, 128).astype(np.float32))
+        self._check_closest(tris, accel, o, d, t_max=tmax)
