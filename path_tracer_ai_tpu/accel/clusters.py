@@ -53,8 +53,45 @@ class ClusterAccel(NamedTuple):
         return self.v0.shape[1]
 
 
-def build_clusters(tris: TrianglesSoA, cluster_size: int = 128) -> ClusterAccel:
-    """Morton-sort triangles and pack into fixed-size clusters."""
+def _median_split_order(centers: np.ndarray, cluster_size: int) -> np.ndarray:
+    """Recursive median split on the longest axis, cluster-size aligned.
+
+    Unlike a Morton sort (whose fixed-size runs become long thin "snakes"
+    with loose AABBs), this partitions space top-down — the same strategy as
+    the reference BVH build (bvh.hpp:44-72, nth_element on maxExtentAxis) —
+    but stops at `cluster_size` leaves and emits a flat ordering, so every
+    cluster is a spatially compact box. Split points are rounded to
+    multiples of cluster_size so all clusters except the last are full.
+    """
+    s = cluster_size
+    out = []
+    stack = [np.arange(centers.shape[0], dtype=np.int64)]
+    while stack:
+        idx = stack.pop()
+        if idx.size <= s:
+            out.append(idx)
+            continue
+        c = centers[idx]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        half = ((idx.size // 2 + s - 1) // s) * s
+        half = min(max(half, s), idx.size - 1)
+        part = np.argpartition(c[:, axis], half - 1)
+        # push right first so the left half is processed (emitted) first
+        stack.append(idx[part[half:]])
+        stack.append(idx[part[:half]])
+    return np.concatenate(out)
+
+
+def build_clusters(
+    tris: TrianglesSoA, cluster_size: int = 128, method: str = "split"
+) -> ClusterAccel:
+    """Order triangles spatially and pack into fixed-size clusters.
+
+    method: "split" (median-split partition — compact cluster AABBs, the
+    production default) or "morton" (Morton-code sort — cheaper build, but
+    fixed-size runs along the curve make long loose boxes that inflate
+    per-ray candidate counts; kept for comparison).
+    """
     v0 = np.asarray(tris.v0, np.float32)
     v1 = np.asarray(tris.v1, np.float32)
     v2 = np.asarray(tris.v2, np.float32)
@@ -63,17 +100,21 @@ def build_clusters(tris: TrianglesSoA, cluster_size: int = 128) -> ClusterAccel:
         raise ValueError("cannot build acceleration structure over 0 triangles")
 
     order = None
-    try:  # native C++ builder (same ordering contract), Python fallback
-        from path_tracer_ai_tpu.accel.native import native_morton_order
-
-        order = native_morton_order(v0, v1, v2)
-    except Exception:  # noqa: BLE001
-        order = None
-    if order is None:
+    if method == "split":
         centers = (v0 + v1 + v2) / 3.0
-        cmin = centers.min(axis=0)
-        cmax = centers.max(axis=0)
-        order = np.argsort(morton3d_np(centers, cmin, cmax), kind="stable")
+        order = _median_split_order(centers, cluster_size)
+    else:
+        try:  # native C++ builder (same ordering contract), Python fallback
+            from path_tracer_ai_tpu.accel.native import native_morton_order
+
+            order = native_morton_order(v0, v1, v2)
+        except Exception:  # noqa: BLE001
+            order = None
+        if order is None:
+            centers = (v0 + v1 + v2) / 3.0
+            cmin = centers.min(axis=0)
+            cmax = centers.max(axis=0)
+            order = np.argsort(morton3d_np(centers, cmin, cmax), kind="stable")
     order = order.astype(np.int64)
 
     s = cluster_size

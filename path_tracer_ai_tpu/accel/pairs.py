@@ -83,7 +83,7 @@ def build_pair_tables(
     directions: jnp.ndarray,  # [N, 3]
     t_min,
     t_max: jnp.ndarray,       # [N] (negative = dead lane)
-    cap: int = 16,
+    cap: int = 32,
     pair_budget: int = 8,
     tile_rays: int = 128,
     row_chunk: int = 1 << 15,
@@ -112,7 +112,6 @@ def build_pair_tables(
     nch = o.shape[0] // row_chunk
 
     k_eff = min(cap, c)
-    targets = jnp.arange(1, k_eff + 1, dtype=jnp.int32)
 
     def scan_chunk(counts, args):
         oc, dc, tc = args
@@ -122,15 +121,13 @@ def build_pair_tables(
         # Overflow rays contribute no pairs (the fallback covers them fully).
         cand = cand & ~over[:, None]
         ci = cand.astype(jnp.int32)
-        # Candidate ids per ray: positions of the first k set bits, found by
-        # searchsorted over the row cumsum (the id-order trick of
-        # traverse._perray_candidates — an order of magnitude cheaper than
-        # an argsort at wave scale).
-        row_cum = jnp.cumsum(ci, axis=1)
-        order = jax.vmap(
-            lambda row: jnp.searchsorted(row, targets, side="left")
-        )(row_cum).astype(jnp.int32)
-        order = jnp.minimum(order, c - 1)
+        # First k_eff set columns per row via ONE top_k (descending values
+        # -col put the smallest set column ids first); per-row searchsorted
+        # was measured ~20x slower on v5e.
+        col = jnp.arange(c, dtype=jnp.int32)[None, :]
+        neg = jnp.where(cand, -col, jnp.int32(-(2**30)))
+        vals, _ = jax.lax.top_k(neg, k_eff)
+        order = jnp.minimum(-vals, c - 1)
         # Rank of each ray inside each cluster's (row-ordered) ray list:
         # running count so far + exclusive cumsum down this chunk's rows.
         col_excl = jnp.cumsum(ci, axis=0) - ci                # [R, C]
@@ -352,7 +349,7 @@ def closest_hit_pairs(
     directions: jnp.ndarray,
     t_min,
     t_max,
-    cap: int = 16,
+    cap: int = 32,
     pair_budget: int = 8,
     tile_rays: int = 128,
     row_chunk: int = 1 << 15,
@@ -408,7 +405,7 @@ def any_hit_pairs(
     directions: jnp.ndarray,
     t_min,
     t_max,
-    cap: int = 16,
+    cap: int = 32,
     pair_budget: int = 8,
     tile_rays: int = 128,
     row_chunk: int = 1 << 15,

@@ -71,7 +71,6 @@ def _build_worklist(
 
     k_eff = min(cap, c)
     n_groups = -(-k_eff // g)
-    targets = jnp.arange(1, k_eff + 1, dtype=jnp.int32)
 
     pad_rows = (-nb) % row_chunk
     if pad_rows:
@@ -93,12 +92,14 @@ def _build_worklist(
         )
         n_cand = jnp.sum(cand, axis=1).astype(jnp.int32)
         over = n_cand > cap
-        ci = (cand & ~over[:, None]).astype(jnp.int32)
-        row_cum = jnp.cumsum(ci, axis=1)
-        order = jax.vmap(
-            lambda row: jnp.searchsorted(row, targets, side="left")
-        )(row_cum).astype(jnp.int32)
-        order = jnp.minimum(order, c - 1)
+        # First k_eff set columns per row via ONE top_k (descending values
+        # -col put the smallest set column ids first). Per-row searchsorted
+        # over the cumsum was measured ~20x slower on v5e (~0.15us per
+        # target-query, serialized); top_k is a dense vectorized sort.
+        col = jnp.arange(c, dtype=jnp.int32)[None, :]
+        neg = jnp.where(cand & ~over[:, None], -col, jnp.int32(-(2**30)))
+        vals, _ = jax.lax.top_k(neg, k_eff)
+        order = jnp.minimum(-vals, c - 1)
         return order, jnp.where(over, 0, n_cand), over
 
     order, n_cand, overflow = jax.lax.map(
@@ -263,7 +264,7 @@ def closest_hit_worklist(
     t_max,
     block: int = 8,
     group: int = 4,
-    cap: int = 32,
+    cap: int = 64,
     item_budget: int = 4,
     row_chunk: int = 1 << 13,
     item_chunk: int = 1024,
@@ -338,7 +339,7 @@ def any_hit_worklist(
     t_max,
     block: int = 8,
     group: int = 4,
-    cap: int = 32,
+    cap: int = 64,
     item_budget: int = 4,
     row_chunk: int = 1 << 13,
     item_chunk: int = 1024,

@@ -67,6 +67,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    # Platform override via OUR env var: this image's sitecustomize pins
+    # JAX_PLATFORMS to the TPU plugin before user code runs, so the standard
+    # env var cannot select the CPU backend. jax.config still can, as long
+    # as we set it before first device use (PT_PLATFORM=cpu|tpu|axon).
+    import os
+
+    plat = os.environ.get("PT_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu" if plat == "cpu" else plat)
+
     configure_cli_logging()
     args = build_parser().parse_args(argv)
 
