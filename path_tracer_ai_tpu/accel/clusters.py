@@ -33,7 +33,11 @@ from path_tracer_ai_tpu.core.types import TrianglesSoA
 
 
 class ClusterAccel(NamedTuple):
-    """Flat device arrays; C clusters of S triangle slots each."""
+    """Flat device arrays; C clusters of S triangle slots each, grouped into
+    superclusters of `super_size` consecutive clusters (a 2-level hierarchy:
+    the traversal culls supercluster AABBs first, then only the children of
+    surviving supers — the role of BVH descent, bvh.hpp:74-116, flattened to
+    two fixed levels so every stage stays dense vector math)."""
 
     bmin: jnp.ndarray    # [C, 3] cluster AABB min
     bmax: jnp.ndarray    # [C, 3] cluster AABB max
@@ -43,6 +47,12 @@ class ClusterAccel(NamedTuple):
     tri_id: jnp.ndarray  # [C, S] int32 global triangle index (-1 = padding)
     scene_min: jnp.ndarray  # [3] scene bounds (for ray sort keys)
     scene_max: jnp.ndarray  # [3]
+    sbmin: jnp.ndarray   # [Cs, 3] supercluster AABB min
+    sbmax: jnp.ndarray   # [Cs, 3] supercluster AABB max
+    # [Cs * super_size, 3] child AABBs padded to full supers; padding slots
+    # hold inverted boxes (min > max) that fail every slab test.
+    cbmin: jnp.ndarray
+    cbmax: jnp.ndarray
 
     @property
     def num_clusters(self) -> int:
@@ -51,6 +61,14 @@ class ClusterAccel(NamedTuple):
     @property
     def cluster_size(self) -> int:
         return self.v0.shape[1]
+
+    @property
+    def num_supers(self) -> int:
+        return self.sbmin.shape[0]
+
+    @property
+    def super_size(self) -> int:
+        return self.cbmin.shape[0] // self.sbmin.shape[0]
 
 
 def _median_split_order(centers: np.ndarray, cluster_size: int) -> np.ndarray:
@@ -83,7 +101,10 @@ def _median_split_order(centers: np.ndarray, cluster_size: int) -> np.ndarray:
 
 
 def build_clusters(
-    tris: TrianglesSoA, cluster_size: int = 128, method: str = "split"
+    tris: TrianglesSoA,
+    cluster_size: int = 128,
+    method: str = "split",
+    super_size: int = 16,
 ) -> ClusterAccel:
     """Order triangles spatially and pack into fixed-size clusters.
 
@@ -147,6 +168,20 @@ def build_clusters(
     scene_min = np.minimum(np.minimum(v0, v1), v2).min(axis=0)
     scene_max = np.maximum(np.maximum(v0, v1), v2).max(axis=0)
 
+    # Supercluster level: groups of `super_size` consecutive clusters (the
+    # split/Morton order makes consecutive clusters spatially local). Child
+    # AABB slots past C are inverted boxes (min > max): the slab test can
+    # never pass them, so padding is inert without masking.
+    g = super_size
+    cs = -(-c // g)
+    big = np.float32(3.0e37)
+    cbmin = np.full((cs * g, 3), big, np.float32)
+    cbmax = np.full((cs * g, 3), -big, np.float32)
+    cbmin[:c] = bmin
+    cbmax[:c] = bmax
+    sbmin = cbmin.reshape(cs, g, 3).min(axis=1)
+    sbmax = cbmax.reshape(cs, g, 3).max(axis=1)
+
     return ClusterAccel(
         bmin=jnp.asarray(bmin),
         bmax=jnp.asarray(bmax),
@@ -156,4 +191,8 @@ def build_clusters(
         tri_id=jnp.asarray(tri_id),
         scene_min=jnp.asarray(scene_min.astype(np.float32)),
         scene_max=jnp.asarray(scene_max.astype(np.float32)),
+        sbmin=jnp.asarray(sbmin),
+        sbmax=jnp.asarray(sbmax),
+        cbmin=jnp.asarray(cbmin),
+        cbmax=jnp.asarray(cbmax),
     )

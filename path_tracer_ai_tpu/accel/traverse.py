@@ -65,28 +65,32 @@ def _sort_keys(accel: ClusterAccel, origins, directions, t_max=None):
     return key
 
 
-def _block_interval_bounds(accel, o_blk, d_blk):
-    """Interval-arithmetic slab bounds of ray blocks vs all cluster AABBs.
+def _interval_slab(bmin, bmax, olo, ohi, dlo, dhi):
+    """Interval-arithmetic slab bounds of ray blocks vs AABBs.
 
-    o_blk, d_blk: [B, R, 3]. Returns (lb, ub) [B, C]: for every member ray,
-    its slab entry >= lb and exit <= ub (see _block_candidates' correctness
-    argument).
+    bmin/bmax: [K, 3] (one box table shared by all blocks) or [B, K, 3]
+    (per-block gathered boxes). olo/ohi/dlo/dhi: [B, 3] block ray bounds.
+    Returns (lb, ub) [B, K]: for every member ray, slab entry >= lb and
+    exit <= ub (see _block_candidates' correctness argument).
     """
-    olo = jnp.min(o_blk, axis=1)   # [B, 3]
-    ohi = jnp.max(o_blk, axis=1)
-    dlo = jnp.min(d_blk, axis=1)
-    dhi = jnp.max(d_blk, axis=1)
+    shared = bmin.ndim == 2
+    nb = olo.shape[0]
+    kdim = bmin.shape[0] if shared else bmin.shape[1]
 
     inf = jnp.float32(jnp.inf)
-    lb = jnp.full((o_blk.shape[0], accel.num_clusters), -inf)
-    ub = jnp.full((o_blk.shape[0], accel.num_clusters), inf)
+    lb = jnp.full((nb, kdim), -inf)
+    ub = jnp.full((nb, kdim), inf)
     for a in range(3):
-        bl = accel.bmin[None, :, a]  # [1, C]
-        bh = accel.bmax[None, :, a]
-        nlo = bl - ohi[:, None, a]   # [B, C] numerator interval low
-        nhi = bh - olo[:, None, a]
-        da_lo = dlo[:, None, a]
-        da_hi = dhi[:, None, a]
+        if shared:
+            bl = bmin[None, :, a]    # [1, K]
+            bh = bmax[None, :, a]
+        else:
+            bl = bmin[:, :, a]       # [B, K]
+            bh = bmax[:, :, a]
+        nlo = bl - ohi[:, a][:, None]   # [B, K] numerator interval low
+        nhi = bh - olo[:, a][:, None]
+        da_lo = dlo[:, a][:, None]
+        da_hi = dhi[:, a][:, None]
         spans_zero = (da_lo <= 0.0) & (da_hi >= 0.0)
         # Interval quotient bounds over the 4 corner combinations; guard the
         # divisors so masked lanes don't produce NaNs that poison min/max.
@@ -103,6 +107,22 @@ def _block_interval_bounds(accel, o_blk, d_blk):
         lb = jnp.maximum(lb, axis_lb)
         ub = jnp.minimum(ub, axis_ub)
     return lb, ub
+
+
+def _ray_block_bounds(o_blk, d_blk):
+    """Per-block origin/direction interval bounds ([B, R, 3] -> [B, 3] x4)."""
+    return (
+        jnp.min(o_blk, axis=1),
+        jnp.max(o_blk, axis=1),
+        jnp.min(d_blk, axis=1),
+        jnp.max(d_blk, axis=1),
+    )
+
+
+def _block_interval_bounds(accel, o_blk, d_blk):
+    """Block bounds vs ALL cluster AABBs (compat wrapper)."""
+    olo, ohi, dlo, dhi = _ray_block_bounds(o_blk, d_blk)
+    return _interval_slab(accel.bmin, accel.bmax, olo, ohi, dlo, dhi)
 
 
 def _block_candidates(accel, o_blk, d_blk, t_max_blk):

@@ -37,8 +37,9 @@ from path_tracer_ai_tpu.accel.clusters import ClusterAccel
 from path_tracer_ai_tpu.accel.pairs import I32_MAX, _overflow_fallback
 from path_tracer_ai_tpu.accel.traverse import (
     PacketHit,
-    _block_interval_bounds,
+    _interval_slab,
     _mt_sweep,
+    _ray_block_bounds,
     _sort_keys,
 )
 
@@ -63,6 +64,8 @@ def _build_worklist(
     item_budget: int,
     row_chunk: int,
     item_align: int,
+    levels: int = 2,
+    super_cap: int = 16,
 ) -> WorkList:
     nb = o_blk.shape[0]
     c = accel.num_clusters
@@ -70,7 +73,14 @@ def _build_worklist(
     i_cap = -(-(nb * item_budget) // item_align) * item_align
 
     k_eff = min(cap, c)
+    if levels == 2:
+        # The 2-level cull sees at most super_cap * super_size children, so
+        # a block can never have more candidates than that.
+        k_eff = min(
+            k_eff, min(super_cap, accel.num_supers) * accel.super_size
+        )
     n_groups = -(-k_eff // g)
+    neg_big = jnp.int32(-(2**30))
 
     pad_rows = (-nb) % row_chunk
     if pad_rows:
@@ -81,9 +91,10 @@ def _build_worklist(
                          constant_values=-1.0)
     nch = o_blk.shape[0] // row_chunk
 
-    def one_chunk(args):
+    def one_chunk_flat(args):
         oc, dc, tc = args
-        lb, ub = _block_interval_bounds(accel, oc, dc)
+        olo, ohi, dlo, dhi = _ray_block_bounds(oc, dc)
+        lb, ub = _interval_slab(accel.bmin, accel.bmax, olo, ohi, dlo, dhi)
         tmax_ub = jnp.max(tc, axis=1)
         # Inclusive bound (flat AABBs must stay in) + dead-block kill.
         cand = (
@@ -97,10 +108,64 @@ def _build_worklist(
         # over the cumsum was measured ~20x slower on v5e (~0.15us per
         # target-query, serialized); top_k is a dense vectorized sort.
         col = jnp.arange(c, dtype=jnp.int32)[None, :]
-        neg = jnp.where(cand & ~over[:, None], -col, jnp.int32(-(2**30)))
+        neg = jnp.where(cand & ~over[:, None], -col, neg_big)
         vals, _ = jax.lax.top_k(neg, k_eff)
         order = jnp.minimum(-vals, c - 1)
         return order, jnp.where(over, 0, n_cand), over
+
+    def one_chunk_2level(args):
+        """Supercluster prefilter, then child AABBs of surviving supers only.
+
+        Cull cost drops from O(rows * C) to O(rows * (C/ss + super_cap*ss)),
+        the flat analog of one BVH level (bvh.hpp:74-116) — decisive once C
+        grows past ~1k (million-triangle scenes).
+        """
+        oc, dc, tc = args
+        rows = oc.shape[0]
+        ss = accel.super_size
+        cs = accel.num_supers
+        scap = min(super_cap, cs)
+        olo, ohi, dlo, dhi = _ray_block_bounds(oc, dc)
+        tmax_ub = jnp.max(tc, axis=1)
+        live = (tmax_ub >= 0.0)[:, None]
+
+        lbs, ubs = _interval_slab(accel.sbmin, accel.sbmax, olo, ohi, dlo, dhi)
+        cand_s = (lbs <= ubs) & (ubs >= 0.0) & (lbs <= tmax_ub[:, None]) & live
+        ns = jnp.sum(cand_s, axis=1).astype(jnp.int32)
+        over_s = ns > scap  # supers beyond the cap are unseen -> fallback
+
+        scol = jnp.arange(cs, dtype=jnp.int32)[None, :]
+        negs = jnp.where(cand_s & ~over_s[:, None], -scol, neg_big)
+        svals, _ = jax.lax.top_k(negs, scap)
+        sorder = jnp.minimum(-svals, cs - 1)                   # [rows, scap]
+        slot_ok = (
+            jnp.arange(scap, dtype=jnp.int32)[None, :] < ns[:, None]
+        )
+
+        # Child boxes of candidate supers. Padding children carry inverted
+        # boxes (min > max) that fail the slab test without masking.
+        child = (
+            sorder[:, :, None] * ss
+            + jnp.arange(ss, dtype=jnp.int32)[None, None, :]
+        ).reshape(rows, scap * ss)                             # [rows, K]
+        cbmin = accel.cbmin[child]                             # [rows, K, 3]
+        cbmax = accel.cbmax[child]
+        lb, ub = _interval_slab(cbmin, cbmax, olo, ohi, dlo, dhi)
+        slot_ok_k = jnp.repeat(slot_ok, ss, axis=1)
+        cand = (
+            (lb <= ub) & (ub >= 0.0) & (lb <= tmax_ub[:, None])
+            & slot_ok_k & live
+        )
+        n_cand = jnp.sum(cand, axis=1).astype(jnp.int32)
+        over = over_s | (n_cand > cap)
+        # top_k over the ACTUAL child cluster ids: smallest ids first, same
+        # id-order contract as the flat path.
+        neg = jnp.where(cand & ~over[:, None], -child, neg_big)
+        vals, _ = jax.lax.top_k(neg, k_eff)
+        order = jnp.minimum(-vals, c - 1)
+        return order, jnp.where(over, 0, n_cand), over
+
+    one_chunk = one_chunk_2level if levels == 2 else one_chunk_flat
 
     order, n_cand, overflow = jax.lax.map(
         one_chunk,
@@ -253,7 +318,7 @@ def _unsort(arrs, perm, npad, n):
     jax.jit,
     static_argnames=(
         "block", "group", "cap", "item_budget", "row_chunk", "item_chunk",
-        "sort", "fallback_block", "fallback_compact",
+        "sort", "levels", "super_cap", "fallback_block", "fallback_compact",
     ),
 )
 def closest_hit_worklist(
@@ -269,6 +334,8 @@ def closest_hit_worklist(
     row_chunk: int = 1 << 13,
     item_chunk: int = 1024,
     sort: bool = True,
+    levels: int = 2,
+    super_cap: int = 16,
     fallback_block: int = 64,
     fallback_compact: int = 4096,
 ) -> PacketHit:
@@ -280,7 +347,7 @@ def closest_hit_worklist(
     )
     wl = _build_worklist(
         accel, o_blk, d_blk, tm_blk, t_min, cap, group, item_budget,
-        row_chunk, item_align=item_chunk,
+        row_chunk, item_align=item_chunk, levels=levels, super_cap=super_cap,
     )
     t_items, tri_items = _sweep_items(
         accel, wl, o_blk, d_blk, tm_blk, t_min, group, item_chunk,
@@ -328,7 +395,7 @@ def closest_hit_worklist(
     jax.jit,
     static_argnames=(
         "block", "group", "cap", "item_budget", "row_chunk", "item_chunk",
-        "sort", "fallback_block", "fallback_compact",
+        "sort", "levels", "super_cap", "fallback_block", "fallback_compact",
     ),
 )
 def any_hit_worklist(
@@ -344,6 +411,8 @@ def any_hit_worklist(
     row_chunk: int = 1 << 13,
     item_chunk: int = 1024,
     sort: bool = True,
+    levels: int = 2,
+    super_cap: int = 16,
     fallback_block: int = 64,
     fallback_compact: int = 4096,
 ) -> jnp.ndarray:
@@ -355,7 +424,7 @@ def any_hit_worklist(
     )
     wl = _build_worklist(
         accel, o_blk, d_blk, tm_blk, t_min, cap, group, item_budget,
-        row_chunk, item_align=item_chunk,
+        row_chunk, item_align=item_chunk, levels=levels, super_cap=super_cap,
     )
     (occ_items,) = _sweep_items(
         accel, wl, o_blk, d_blk, tm_blk, t_min, group, item_chunk,

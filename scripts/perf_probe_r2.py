@@ -179,6 +179,8 @@ def main():
         o, d, tm = waves["bounce"]
         accel = accels["split128"]
         grid = [
+            dict(block=8, group=8, item_budget=6, item_chunk=1024, levels=1),
+            dict(block=8, group=8, item_budget=6, item_chunk=1024, super_cap=12),
             dict(block=8, group=8, item_budget=6, item_chunk=1024),
             dict(block=8, group=16, item_budget=4, item_chunk=512),
             dict(block=16, group=8, item_budget=4, item_chunk=512),

@@ -496,3 +496,45 @@ class TestWorklistTraversal:
         o, d = random_rays(rng, 128)
         tmax = jnp.asarray(rng.uniform(0.3, 12.0, 128).astype(np.float32))
         self._check_closest(tris, accel, o, d, t_max=tmax)
+
+    def test_two_level_cull_matches_flat_and_bruteforce(self, rng):
+        """The supercluster prefilter (levels=2) must agree exactly with the
+        flat cull (levels=1) and brute force."""
+        from path_tracer_ai_tpu.accel.worklist import closest_hit_worklist
+
+        tris = random_soup(rng, 3000, spread=5.0)
+        accel = build_clusters(tris, cluster_size=32, super_size=8)
+        o, d = random_rays(rng, 256)
+        p2 = closest_hit_worklist(accel, o, d, 1e-3, np.inf, levels=2)
+        p1 = closest_hit_worklist(accel, o, d, 1e-3, np.inf, levels=1)
+        bh = closest_hit(tris, o, d, 1e-3, np.inf)
+        for ph in (p1, p2):
+            np.testing.assert_array_equal(np.asarray(ph.hit),
+                                          np.asarray(bh.hit))
+            m = np.asarray(bh.hit)
+            np.testing.assert_allclose(np.asarray(ph.t)[m],
+                                       np.asarray(bh.t)[m], rtol=1e-5)
+            np.testing.assert_array_equal(np.asarray(ph.tri)[m],
+                                          np.asarray(bh.tri)[m])
+
+    def test_super_cap_overflow_fallback(self, rng):
+        """super_cap=1 overflows nearly every block at the super level; the
+        fallback must keep results exact."""
+        from path_tracer_ai_tpu.accel.worklist import (
+            any_hit_worklist,
+            closest_hit_worklist,
+        )
+
+        tris = random_soup(rng, 800, spread=2.0)
+        accel = build_clusters(tris, cluster_size=16, super_size=4)
+        o, d = random_rays(rng, 128, spread=3.0)
+        ph = closest_hit_worklist(accel, o, d, 1e-3, np.inf, super_cap=1)
+        bh = closest_hit(tris, o, d, 1e-3, np.inf)
+        np.testing.assert_array_equal(np.asarray(ph.hit), np.asarray(bh.hit))
+        m = np.asarray(bh.hit)
+        np.testing.assert_allclose(np.asarray(ph.t)[m], np.asarray(bh.t)[m],
+                                   rtol=1e-5)
+        pa = any_hit_worklist(accel, o, d, 1e-3,
+                              jnp.full((128,), 6.0), super_cap=1)
+        ba = any_hit(tris, o, d, 1e-3, 6.0)
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(ba))
