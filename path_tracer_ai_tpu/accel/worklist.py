@@ -44,6 +44,26 @@ from path_tracer_ai_tpu.accel.traverse import (
 )
 
 
+def _extract_k(neg: jnp.ndarray, k: int, neg_big) -> jnp.ndarray:
+    """First k set columns per row, UNROLLED argmax-and-mask.
+
+    neg: [rows, cols] i32 holding -col where set, neg_big where not.
+    Returns [rows, k] column ids ascending (garbage past the row's count —
+    callers mask by n_cand). jax.lax.top_k lowers to a lane-axis sort,
+    measured ~2.6us/row on v5e ([rows, 256] k=64 dominated the whole table
+    build); k unrolled argmax+mask steps are plain VPU reductions that fuse
+    into one kernel.
+    """
+    cols = neg.shape[1]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, cols), 1)
+    out = []
+    for _ in range(k):
+        idx = jnp.argmax(neg, axis=1).astype(jnp.int32)   # first max = min col
+        out.append(idx)
+        neg = jnp.where(col_ids == idx[:, None], neg_big, neg)
+    return jnp.stack(out, axis=1)
+
+
 class WorkList(NamedTuple):
     item_block: jnp.ndarray  # [I] i32 block id per work item
     ibase: jnp.ndarray       # [nb] i32 first item of each block
@@ -103,14 +123,10 @@ def _build_worklist(
         )
         n_cand = jnp.sum(cand, axis=1).astype(jnp.int32)
         over = n_cand > cap
-        # First k_eff set columns per row via ONE top_k (descending values
-        # -col put the smallest set column ids first). Per-row searchsorted
-        # over the cumsum was measured ~20x slower on v5e (~0.15us per
-        # target-query, serialized); top_k is a dense vectorized sort.
         col = jnp.arange(c, dtype=jnp.int32)[None, :]
         neg = jnp.where(cand & ~over[:, None], -col, neg_big)
-        vals, _ = jax.lax.top_k(neg, k_eff)
-        order = jnp.minimum(-vals, c - 1)
+        # column position == cluster id in the flat layout
+        order = jnp.minimum(_extract_k(neg, k_eff, neg_big), c - 1)
         return order, jnp.where(over, 0, n_cand), over
 
     def one_chunk_2level(args):
@@ -136,8 +152,7 @@ def _build_worklist(
 
         scol = jnp.arange(cs, dtype=jnp.int32)[None, :]
         negs = jnp.where(cand_s & ~over_s[:, None], -scol, neg_big)
-        svals, _ = jax.lax.top_k(negs, scap)
-        sorder = jnp.minimum(-svals, cs - 1)                   # [rows, scap]
+        sorder = jnp.minimum(_extract_k(negs, scap, neg_big), cs - 1)
         slot_ok = (
             jnp.arange(scap, dtype=jnp.int32)[None, :] < ns[:, None]
         )
@@ -158,11 +173,13 @@ def _build_worklist(
         )
         n_cand = jnp.sum(cand, axis=1).astype(jnp.int32)
         over = over_s | (n_cand > cap)
-        # top_k over the ACTUAL child cluster ids: smallest ids first, same
-        # id-order contract as the flat path.
+        # Extract over the ACTUAL child cluster ids (argmax of -id returns
+        # the POSITION of the smallest remaining id; map back through the
+        # gathered child table): smallest ids first, the same id-order
+        # contract as the flat path.
         neg = jnp.where(cand & ~over[:, None], -child, neg_big)
-        vals, _ = jax.lax.top_k(neg, k_eff)
-        order = jnp.minimum(-vals, c - 1)
+        pos = _extract_k(neg, k_eff, neg_big)
+        order = jnp.minimum(jnp.take_along_axis(child, pos, axis=1), c - 1)
         return order, jnp.where(over, 0, n_cand), over
 
     one_chunk = one_chunk_2level if levels == 2 else one_chunk_flat
@@ -330,14 +347,14 @@ def closest_hit_worklist(
     block: int = 8,
     group: int = 4,
     cap: int = 64,
-    item_budget: int = 4,
+    item_budget: int = 6,
     row_chunk: int = 1 << 13,
     item_chunk: int = 1024,
     sort: bool = True,
     levels: int = 2,
     super_cap: int = 16,
     fallback_block: int = 64,
-    fallback_compact: int = 4096,
+    fallback_compact: int = 32768,
 ) -> PacketHit:
     """Closest hit via the block-major work list; exact for every ray."""
     n = origins.shape[0]
@@ -407,14 +424,14 @@ def any_hit_worklist(
     block: int = 8,
     group: int = 4,
     cap: int = 64,
-    item_budget: int = 4,
+    item_budget: int = 6,
     row_chunk: int = 1 << 13,
     item_chunk: int = 1024,
     sort: bool = True,
     levels: int = 2,
     super_cap: int = 16,
     fallback_block: int = 64,
-    fallback_compact: int = 4096,
+    fallback_compact: int = 32768,
 ) -> jnp.ndarray:
     """Occlusion query via the block-major work list; exact for every ray."""
     n = origins.shape[0]

@@ -93,7 +93,11 @@ def packet_backend(
             return worklist.closest_hit_worklist(accel, o, d, RAY_TMIN, t_max)
 
         def occlude(o, d, t_max):
-            return worklist.any_hit_worklist(accel, o, d, RAY_TMIN, t_max)
+            # Shadow waves arrive light-major (direct_lighting): consecutive
+            # lanes share a light and neighbor pixels — already coherent.
+            # Measured on v5e: sort=False is 1.4x faster on these waves.
+            return worklist.any_hit_worklist(accel, o, d, RAY_TMIN, t_max,
+                                             sort=False)
 
         return closest, occlude
 

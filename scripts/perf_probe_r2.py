@@ -21,8 +21,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def emit(name, **kw):
-    print(json.dumps({"probe": name, **kw}), flush=True)
+def emit(probe_name, **kw):
+    print(json.dumps({"probe": probe_name, **kw}), flush=True)
 
 
 def timeit(fn, *args, reps=3, **kw):
@@ -122,6 +122,25 @@ def main():
 
     n = (1 << 16) if args.quick else (1 << 20)
     waves = make_waves(scene, n)
+
+    # --- extraction microbench: top_k vs unrolled argmax ---------------------
+    if not args.quick:
+        from path_tracer_ai_tpu.accel.worklist import _extract_k
+
+        rngn = np.random.default_rng(2)
+        for rows, cols, k in [(1 << 17, 256, 64), (1 << 17, 41, 16)]:
+            cand = jnp.asarray(rngn.random((rows, cols)) < 0.1)
+            col = jnp.arange(cols, dtype=jnp.int32)[None, :]
+            neg = jnp.where(cand, -col, jnp.int32(-(2**30)))
+
+            dt, _ = timeit(jax.jit(lambda x: jax.lax.top_k(x, k)), neg)
+            emit("extract_topk", rows=rows, cols=cols, k=k,
+                 ms=round(dt * 1e3, 2))
+            dt, _ = timeit(
+                jax.jit(lambda x: _extract_k(x, k, jnp.int32(-(2**30)))), neg
+            )
+            emit("extract_argmax", rows=rows, cols=cols, k=k,
+                 ms=round(dt * 1e3, 2))
 
     # --- candidate quality per accel variant (block 8, cap 64) --------------
     for aname, accel in accels.items():
