@@ -1,7 +1,15 @@
-"""Pallas traversal kernels: the hot path of the renderer.
+"""Pallas traversal kernels for the packet-cascade backend (OPT-IN).
+
+STATUS (measured on v5e, round 1-2): these kernels are compiled-verified and
+exactly agree with the XLA cascade, but LOSE to it on wall-clock (~5us per
+in-kernel cluster visit: DMA wait + bookkeeping on small [R, S] tiles vs
+XLA's pipelined dense sweeps), and the cascade itself has been superseded by
+the worklist backend (accel.worklist) as the production path. They are kept
+as an opt-in (`backend="pallas"`) and as the scaffolding for a future fused
+worklist-sweep kernel; see docs/ARCHITECTURE.md "Negative results".
 
 Replaces the XLA cascade sweep (accel.traverse) for the per-(block, cluster)
-candidate walk. Architectural wins over the XLA formulation:
+candidate walk. Architectural ideas over the XLA formulation:
 
 1. ZERO load imbalance: the grid runs one step per RAY BLOCK, and each step
    loops over exactly its own candidate count in-kernel (data-dependent
@@ -192,7 +200,7 @@ def closest_sweep_pallas(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, entry.shape[1]), lambda i, nc: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # tri table stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # tri table stays in HBM
         ],
         out_specs=[
             pl.BlockSpec((1, 1, r), lambda i, nc: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -327,7 +335,7 @@ def anyhit_sweep_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, order.shape[1]), lambda i, nc: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, r), lambda i, nc: (i, 0, 0), memory_space=pltpu.VMEM),

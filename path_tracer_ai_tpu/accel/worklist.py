@@ -45,23 +45,16 @@ from path_tracer_ai_tpu.accel.traverse import (
 
 
 def _extract_k(neg: jnp.ndarray, k: int, neg_big) -> jnp.ndarray:
-    """First k set columns per row, UNROLLED argmax-and-mask.
+    """First k set columns per row (descending top_k of -col = ascending
+    column ids; garbage past the row's count — callers mask by n_cand).
 
-    neg: [rows, cols] i32 holding -col where set, neg_big where not.
-    Returns [rows, k] column ids ascending (garbage past the row's count —
-    callers mask by n_cand). jax.lax.top_k lowers to a lane-axis sort,
-    measured ~2.6us/row on v5e ([rows, 256] k=64 dominated the whole table
-    build); k unrolled argmax+mask steps are plain VPU reductions that fuse
-    into one kernel.
+    Measured on v5e at [131k, 256] k=64: lax.top_k 13ms; an unrolled
+    argmax+mask loop 83ms; per-row searchsorted over cumsums ~340ms. top_k
+    wins decisively — earlier table-build cost attributed to it was actually
+    elsewhere (child-AABB gathers of the 2-level cull).
     """
-    cols = neg.shape[1]
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, cols), 1)
-    out = []
-    for _ in range(k):
-        idx = jnp.argmax(neg, axis=1).astype(jnp.int32)   # first max = min col
-        out.append(idx)
-        neg = jnp.where(col_ids == idx[:, None], neg_big, neg)
-    return jnp.stack(out, axis=1)
+    vals, _ = jax.lax.top_k(neg, k)
+    return -vals
 
 
 class WorkList(NamedTuple):
@@ -84,11 +77,16 @@ def _build_worklist(
     item_budget: int,
     row_chunk: int,
     item_align: int,
-    levels: int = 2,
-    super_cap: int = 16,
+    levels: int = 0,
+    super_cap: int = 32,
 ) -> WorkList:
     nb = o_blk.shape[0]
     c = accel.num_clusters
+    if levels == 0:
+        # Auto: the flat cull wins while [rows, C] slab + top_k stays cheap;
+        # the 2-level cull pays per-block child-AABB gathers that only
+        # amortize once C is large (million-triangle scenes).
+        levels = 2 if c > 2048 else 1
     g = group
     i_cap = -(-(nb * item_budget) // item_align) * item_align
 
@@ -125,7 +123,6 @@ def _build_worklist(
         over = n_cand > cap
         col = jnp.arange(c, dtype=jnp.int32)[None, :]
         neg = jnp.where(cand & ~over[:, None], -col, neg_big)
-        # column position == cluster id in the flat layout
         order = jnp.minimum(_extract_k(neg, k_eff, neg_big), c - 1)
         return order, jnp.where(over, 0, n_cand), over
 
@@ -173,13 +170,10 @@ def _build_worklist(
         )
         n_cand = jnp.sum(cand, axis=1).astype(jnp.int32)
         over = over_s | (n_cand > cap)
-        # Extract over the ACTUAL child cluster ids (argmax of -id returns
-        # the POSITION of the smallest remaining id; map back through the
-        # gathered child table): smallest ids first, the same id-order
-        # contract as the flat path.
+        # Extract over the ACTUAL child cluster ids: smallest ids first,
+        # the same id-order contract as the flat path.
         neg = jnp.where(cand & ~over[:, None], -child, neg_big)
-        pos = _extract_k(neg, k_eff, neg_big)
-        order = jnp.minimum(jnp.take_along_axis(child, pos, axis=1), c - 1)
+        order = jnp.minimum(_extract_k(neg, k_eff, neg_big), c - 1)
         return order, jnp.where(over, 0, n_cand), over
 
     one_chunk = one_chunk_2level if levels == 2 else one_chunk_flat
@@ -351,8 +345,8 @@ def closest_hit_worklist(
     row_chunk: int = 1 << 13,
     item_chunk: int = 1024,
     sort: bool = True,
-    levels: int = 2,
-    super_cap: int = 16,
+    levels: int = 0,
+    super_cap: int = 32,
     fallback_block: int = 64,
     fallback_compact: int = 32768,
 ) -> PacketHit:
@@ -428,8 +422,8 @@ def any_hit_worklist(
     row_chunk: int = 1 << 13,
     item_chunk: int = 1024,
     sort: bool = True,
-    levels: int = 2,
-    super_cap: int = 16,
+    levels: int = 0,
+    super_cap: int = 32,
     fallback_block: int = 64,
     fallback_compact: int = 32768,
 ) -> jnp.ndarray:

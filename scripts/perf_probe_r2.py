@@ -142,6 +142,38 @@ def main():
             emit("extract_argmax", rows=rows, cols=cols, k=k,
                  ms=round(dt * 1e3, 2))
 
+    # --- slab-only cull micro (tables minus extraction) ---------------------
+    if not args.quick:
+        from path_tracer_ai_tpu.accel.traverse import (
+            _interval_slab,
+            _ray_block_bounds,
+        )
+
+        accel0 = accels["split128"]
+        o, d, tm = waves["bounce"]
+        ob_, db_, tb_, _, _ = worklist._prepare_blocks(accel0, o, d, tm, 8,
+                                                       True)
+
+        def slab_only(ob, db, tb):
+            def chunk(argsx):
+                oc, dc, tc = argsx
+                olo, ohi, dlo, dhi = _ray_block_bounds(oc, dc)
+                lb, ub = _interval_slab(accel0.bmin, accel0.bmax, olo, ohi,
+                                        dlo, dhi)
+                cand = (lb <= ub) & (ub >= 0.0)
+                return jnp.sum(cand, axis=1).astype(jnp.int32)
+
+            nchk = ob.shape[0] // 8192
+            return jax.lax.map(
+                chunk,
+                (ob.reshape(nchk, 8192, -1, 3), db.reshape(nchk, 8192, -1, 3),
+                 tb.reshape(nchk, 8192, -1)),
+            )
+
+        dt, _ = timeit(jax.jit(slab_only), ob_, db_, tb_)
+        emit("slab_only_flat", rows=int(ob_.shape[0]), cols=641,
+             ms=round(dt * 1e3, 2))
+
     # --- candidate quality per accel variant (block 8, cap 64) --------------
     for aname, accel in accels.items():
         wlb = jax.jit(
@@ -198,14 +230,14 @@ def main():
         o, d, tm = waves["bounce"]
         accel = accels["split128"]
         grid = [
-            dict(block=8, group=8, item_budget=6, item_chunk=1024, levels=1),
-            dict(block=8, group=8, item_budget=6, item_chunk=1024, super_cap=12),
             dict(block=8, group=8, item_budget=6, item_chunk=1024),
-            dict(block=8, group=16, item_budget=4, item_chunk=512),
+            dict(block=8, group=8, item_budget=6, item_chunk=1024, levels=2),
+            dict(block=8, group=8, item_budget=6, item_chunk=1024, cap=96),
             dict(block=16, group=8, item_budget=4, item_chunk=512),
+            dict(block=16, group=8, item_budget=4, item_chunk=512, cap=96),
             dict(block=16, group=16, item_budget=3, item_chunk=512),
-            dict(block=8, group=4, item_budget=8, item_chunk=2048),
-            dict(block=32, group=8, item_budget=3, item_chunk=256),
+            dict(block=4, group=8, item_budget=10, item_chunk=2048),
+            dict(block=8, group=16, item_budget=4, item_chunk=512),
         ]
         for gset in grid:
             try:

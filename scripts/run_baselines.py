@@ -1,0 +1,201 @@
+"""Run the five BASELINE.json configs end-to-end; emit RESULTS.md + JSON.
+
+ONE TPU process (tunnel hazard rules). Writes results/results_r2.json and
+RESULTS.md at the repo root.
+
+Methodology notes (BASELINE "RMSE vs CPU reference" <1% criterion):
+- The oracle engine IS the CPU-reference semantics (SURVEY.md §2.10), but it
+  is brute-force-exact: O(rays x triangles). On the 82k-triangle blob scene
+  a >=512^2 full-spp oracle render is computationally infeasible (10^16 MT
+  tests), so the criterion is evidenced in three mutually reinforcing ways:
+  1. cornell (36 tris): TRUE oracle RMSE at the full 512x512/64spp spec,
+     different seeds (two independent unbiased estimators; <1% iff the fast
+     path matches the reference semantics within MC noise).
+  2. blob scenes: SAME-SEED oracle-vs-wavefront agreement at a small config
+     (identical RNG streams make MC noise cancel; any semantic difference
+     shows up directly) plus the traversal-exactness test suite.
+  3. cross-seed wavefront RMSE at 512x288 as the MC-noise yardstick.
+
+Usage: python scripts/run_baselines.py [--skip SLOW_CONFIGS...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip", nargs="*", default=[])
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="global spp scale for smoke runs")
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    log(f"devices: {jax.devices()}")
+
+    from path_tracer_ai_tpu import benchmarks
+    from path_tracer_ai_tpu.engine import oracle, wavefront
+    from path_tracer_ai_tpu.io import checkpoint as ckpt_io
+
+    results = {}
+
+    def record(name, **kw):
+        results[name] = kw
+        log(f"[{name}] {kw}")
+
+    # ---- the four non-4k configs at full spec -----------------------------
+    for name in ["cpu-ref", "cornell", "dielectric", "gpu-parity"]:
+        if name in args.skip:
+            continue
+        cfg = benchmarks.get_configs(args.scale)[name]
+        scene, camera = benchmarks.build_config_scene(cfg)
+        accel = None
+        stats = wavefront.RenderStats()
+        t0 = time.perf_counter()
+        img = wavefront.render(scene, camera, cfg.settings.replace(seed=1),
+                               stats=stats, wave_size=1 << 20, block_size=64)
+        wall = time.perf_counter() - t0
+        assert np.isfinite(img).all()
+        record(
+            name, width=cfg.settings.width, height=cfg.settings.height,
+            spp=cfg.settings.samples_per_pixel,
+            bounces=cfg.settings.max_bounces,
+            wall_s=round(wall, 1), mrays=round(stats.mrays_per_s, 2),
+            total_mrays=round(stats.total_rays / 1e6, 1),
+        )
+
+        if name == "cornell":
+            # TRUE oracle RMSE at full spec (different seeds).
+            t0 = time.perf_counter()
+            img_o = oracle.render(scene, camera,
+                                  cfg.settings.replace(seed=2))
+            r = benchmarks.rmse(img, img_o)
+            record("cornell_rmse_vs_oracle", rmse_pct=round(100 * r, 3),
+                   criterion="<1%", passes=bool(r < 0.01),
+                   oracle_wall_s=round(time.perf_counter() - t0, 1))
+
+    # ---- blob-scene correctness evidence ----------------------------------
+    if "evidence" not in args.skip:
+        from path_tracer_ai_tpu.config import RenderSettings
+
+        cfg = benchmarks.get_configs(1.0)["gpu-parity"]
+        scene, camera = benchmarks.build_config_scene(cfg)
+
+        # same-seed agreement at an oracle-feasible size
+        s_small = RenderSettings(64, 36, 4, 5, seed=7)
+        img_w = wavefront.render(scene, camera, s_small, wave_size=1 << 16,
+                                 block_size=64)
+        t0 = time.perf_counter()
+        img_o = oracle.render(scene, camera, s_small, chunk_pixels=2304)
+        diff = np.abs(img_w - img_o)
+        record("blob_same_seed_agreement", config="64x36@4spp/5b",
+               max_abs=float(diff.max()), mean_abs=float(diff.mean()),
+               oracle_wall_s=round(time.perf_counter() - t0, 1))
+
+        # cross-seed wavefront RMSE at 512x288 (the MC-noise yardstick)
+        s_mid = RenderSettings(512, 288, 100, 5, seed=11)
+        a = wavefront.render(scene, camera, s_mid, wave_size=1 << 20,
+                             block_size=64)
+        b = wavefront.render(scene, camera, s_mid.replace(seed=12),
+                             wave_size=1 << 20, block_size=64)
+        record("blob_cross_seed_rmse_512", config="512x288@100spp/5b",
+               rmse_pct=round(100 * benchmarks.rmse(a, b), 3))
+
+    # ---- 4k progressive with checkpoint/resume ----------------------------
+    if "4k" not in args.skip:
+        cfg = benchmarks.get_configs(1.0)["4k"]
+        scene, camera = benchmarks.build_config_scene(cfg)
+        # Scaled to fit a single session: 1024 spp -> 16 (documented); the
+        # full-spp run is the same loop for 64x longer.
+        spp = max(1, int(16 * args.scale))
+        s4k = cfg.settings.replace(samples_per_pixel=spp, seed=3)
+        ck = "/tmp/pt_4k.ckpt"
+        if os.path.exists(ck):
+            os.remove(ck)
+        stats = wavefront.RenderStats()
+        t0 = time.perf_counter()
+        # phase 1: render half the samples, checkpointing every pass
+        s_half = s4k.replace(samples_per_pixel=spp // 2)
+        wavefront.render(scene, camera, s_half, stats=stats,
+                         wave_size=1 << 20, block_size=64,
+                         checkpoint_path=ck, checkpoint_every=1)
+        # "interrupt": rewrite the checkpoint under the full-run fingerprint
+        fp_half = ckpt_io.fingerprint(s_half, scene.triangles.count, 3)
+        acc, cnt, next_s = ckpt_io.load(ck, fp_half)
+        ckpt_io.save(ck, acc, cnt, next_s,
+                     ckpt_io.fingerprint(s4k, scene.triangles.count, 3))
+        # phase 2: resume to the full count
+        img = wavefront.render(scene, camera, s4k, stats=stats,
+                               wave_size=1 << 20, block_size=64,
+                               checkpoint_path=ck, checkpoint_every=1)
+        wall = time.perf_counter() - t0
+        assert np.isfinite(img).all()
+        record("4k", width=3840, height=2160, spp=spp,
+               spp_full_spec=1024, bounces=s4k.max_bounces,
+               resumed_from_sample=int(next_s),
+               wall_s=round(wall, 1), mrays=round(stats.mrays_per_s, 2),
+               total_mrays=round(stats.total_rays / 1e6, 1),
+               note="spp scaled 1024->16 to fit one session; progressive "
+                    "checkpoint/resume exercised mid-run; multi-device "
+                    "tiling validated on the virtual mesh (tests/test_mesh)")
+
+    # ---- write artifacts ----------------------------------------------------
+    os.makedirs("/root/repo/results", exist_ok=True)
+    with open("/root/repo/results/results_r2.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+    lines = [
+        "# RESULTS — BASELINE configs (round 2, v5e single chip)",
+        "",
+        "Produced by `scripts/run_baselines.py` in one TPU session; raw",
+        "values in `results/results_r2.json`. RMSE methodology: see the",
+        "script docstring (brute-force oracle cost bounds what can be",
+        "compared at full spec; three-way evidence instead).",
+        "",
+        "| config | spec | wall | Mrays/s | correctness evidence |",
+        "|---|---|---|---|---|",
+    ]
+    for name in ["cpu-ref", "cornell", "dielectric", "gpu-parity", "4k"]:
+        r = results.get(name)
+        if not r:
+            continue
+        spec = f"{r['width']}x{r['height']} @ {r['spp']}spp/{r['bounces']}b"
+        ev = ""
+        if name == "cornell" and "cornell_rmse_vs_oracle" in results:
+            rr = results["cornell_rmse_vs_oracle"]
+            ev = f"oracle RMSE {rr['rmse_pct']}% (<1%: {rr['passes']})"
+        elif name == "4k":
+            ev = f"resumed at sample {r.get('resumed_from_sample')}; " \
+                 f"spp scaled (note in JSON)"
+        elif "blob_same_seed_agreement" in results:
+            ag = results["blob_same_seed_agreement"]
+            ev = f"same-seed oracle agreement max {ag['max_abs']:.2e}"
+        lines.append(
+            f"| {name} | {spec} | {r['wall_s']}s | {r['mrays']} | {ev} |"
+        )
+    if "blob_cross_seed_rmse_512" in results:
+        rr = results["blob_cross_seed_rmse_512"]
+        lines += ["",
+                  f"Cross-seed wavefront RMSE ({rr['config']}): "
+                  f"{rr['rmse_pct']}% — the MC-noise level at this spp."]
+    with open("/root/repo/RESULTS.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    log("wrote RESULTS.md + results/results_r2.json")
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
