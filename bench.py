@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--bounces", type=int, default=5)
     ap.add_argument("--subdiv", type=int, default=6)  # 20*4^6 = 81920 tris
     ap.add_argument("--quick", action="store_true", help="tiny config for smoke")
+    ap.add_argument("--backend", default=None,
+                    help="traversal backend override (worklist/packets/pairs)")
+    ap.add_argument("--cluster-size", type=int, default=128)
     args = ap.parse_args()
     if args.quick:
         args.width, args.height, args.spp, args.subdiv = 320, 180, 2, 3
@@ -53,6 +56,10 @@ def main():
 
     t0 = time.perf_counter()
     scene, accel = _demo_scene(subdivisions=args.subdiv)
+    if args.cluster_size != 128:
+        from path_tracer_ai_tpu.accel.clusters import build_clusters
+
+        accel = build_clusters(scene.triangles, cluster_size=args.cluster_size)
     log(
         f"scene: {scene.triangles.count} tris, accel {accel.num_clusters}x"
         f"{accel.cluster_size} ({time.perf_counter() - t0:.2f}s build)"
@@ -71,13 +78,14 @@ def main():
     warm = settings.replace(samples_per_pixel=sc)
     t0 = time.perf_counter()
     wavefront.render(scene, camera, warm, accel=accel, block_size=64,
-                     wave_size=1 << 20)
+                     wave_size=1 << 20, backend=args.backend)
     log(f"warmup (compile) pass: {time.perf_counter() - t0:.1f}s")
 
     stats = wavefront.RenderStats()
     t0 = time.perf_counter()
     img = wavefront.render(scene, camera, settings, accel=accel, stats=stats,
-                           block_size=64, wave_size=1 << 20)
+                           block_size=64, wave_size=1 << 20,
+                           backend=args.backend)
     wall = time.perf_counter() - t0
     log(
         f"render {args.width}x{args.height}@{args.spp}spp/{args.bounces}b: "

@@ -201,14 +201,17 @@ def _build_worklist(
     ibase = jnp.cumsum(m) - m
     n_items = jnp.sum(m)
 
-    # item j -> owning block, via one searchsorted over the item bases
-    # (gathers only; the monotone structure is what makes this scatter-free).
-    ends = ibase + m                                          # [nb]
+    # item j -> owning block. Both sides are sorted, so instead of a
+    # searchsorted over i_cap queries (~0.15us per query on v5e — it was
+    # silently the dominant table cost) mark each nonempty block's first
+    # item with its id (one tiny scatter-max) and forward-fill with cummax.
+    mark_pos = jnp.where(m > 0, ibase, i_cap)                 # empty -> drop
+    blk_ids = jnp.arange(nb, dtype=jnp.int32)
     item_block = (
-        jnp.searchsorted(ends, jnp.arange(i_cap, dtype=jnp.int32),
-                         side="right").astype(jnp.int32)
+        jnp.zeros((i_cap,), jnp.int32)
+        .at[mark_pos].max(blk_ids, mode="drop")
     )
-    item_block = jnp.minimum(item_block, nb - 1)
+    item_block = jax.lax.cummax(item_block)
 
     pad_k = n_groups * g - k_eff
     if pad_k:

@@ -538,3 +538,31 @@ class TestWorklistTraversal:
                               jnp.full((128,), 6.0), super_cap=1)
         ba = any_hit(tris, o, d, 1e-3, 6.0)
         np.testing.assert_array_equal(np.asarray(pa), np.asarray(ba))
+
+    def test_large_scene_auto_two_level(self, rng):
+        """A >2048-cluster scene auto-selects the 2-level cull; traversal
+        stays exact at scale (the million-triangle path, scaled for CPU)."""
+        from path_tracer_ai_tpu.accel.worklist import closest_hit_worklist
+        from path_tracer_ai_tpu.scene.procgen import blob_mesh
+
+        pts, faces, _ = blob_mesh(subdivisions=6, seed=3)  # 81920 tris
+        v = pts[faces].astype(np.float32)
+        n = np.tile([[0, 1, 0]], (faces.shape[0], 1)).astype(np.float32)
+        uv = np.zeros((faces.shape[0], 2), np.float32)
+        tris = triangles_from_numpy(v[:, 0], v[:, 1], v[:, 2], n, n, n,
+                                    uv, uv, uv,
+                                    np.zeros(faces.shape[0], np.int32))
+        accel = build_clusters(tris, cluster_size=32)  # 2560 clusters
+        assert accel.num_clusters > 2048
+        o = jnp.asarray(rng.uniform(-2, 2, (64, 3)).astype(np.float32))
+        d = rng.standard_normal((64, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        d = jnp.asarray(d)
+        ph = closest_hit_worklist(accel, o, d, 1e-3, np.inf)
+        bh = closest_hit(tris, o, d, 1e-3, np.inf)
+        np.testing.assert_array_equal(np.asarray(ph.hit), np.asarray(bh.hit))
+        m = np.asarray(bh.hit)
+        np.testing.assert_allclose(np.asarray(ph.t)[m], np.asarray(bh.t)[m],
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(ph.tri)[m],
+                                      np.asarray(bh.tri)[m])
