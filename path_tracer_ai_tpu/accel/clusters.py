@@ -49,8 +49,10 @@ class ClusterAccel(NamedTuple):
     scene_max: jnp.ndarray  # [3]
     sbmin: jnp.ndarray   # [Cs, 3] supercluster AABB min
     sbmax: jnp.ndarray   # [Cs, 3] supercluster AABB max
-    # [Cs * super_size, 3] child AABBs padded to full supers; padding slots
-    # hold inverted boxes (min > max) that fail every slab test.
+    # [Cs, super_size, 3] child AABBs padded to full supers, grouped per
+    # super so one gather row is a whole super's children (contiguous —
+    # 12-byte-row gathers were measured ~15x slower). Padding slots hold
+    # inverted boxes (min > max) that fail every slab test.
     cbmin: jnp.ndarray
     cbmax: jnp.ndarray
 
@@ -68,7 +70,7 @@ class ClusterAccel(NamedTuple):
 
     @property
     def super_size(self) -> int:
-        return self.cbmin.shape[0] // self.sbmin.shape[0]
+        return self.cbmin.shape[1]
 
 
 def _median_split_order(centers: np.ndarray, cluster_size: int) -> np.ndarray:
@@ -179,8 +181,10 @@ def build_clusters(
     cbmax = np.full((cs * g, 3), -big, np.float32)
     cbmin[:c] = bmin
     cbmax[:c] = bmax
-    sbmin = cbmin.reshape(cs, g, 3).min(axis=1)
-    sbmax = cbmax.reshape(cs, g, 3).max(axis=1)
+    cbmin = cbmin.reshape(cs, g, 3)
+    cbmax = cbmax.reshape(cs, g, 3)
+    sbmin = cbmin.min(axis=1)
+    sbmax = cbmax.max(axis=1)
 
     return ClusterAccel(
         bmin=jnp.asarray(bmin),

@@ -40,16 +40,20 @@ class PacketHit(NamedTuple):
     tri: jnp.ndarray     # [N] i32 global triangle index (-1 on miss)
 
 
-def _sort_keys(accel: ClusterAccel, origins, directions, t_max=None):
-    """Coherence key: dead bit (1b) + direction octant (3b) + direction
-    Morton (9b) + origin Morton (18b).
+def _sort_keys(accel: ClusterAccel, origins, directions, t_max=None,
+               mode: str = "dir"):
+    """Coherence key; dead rays (t_max < 0) always sort to the end so they
+    pack into all-dead blocks with zero traversal candidates.
 
-    Direction bits lead: the conservative block frustum degrades fastest
-    with direction spread (a block whose directions span a wide cone sees
-    most of the scene), so bounce/shadow waves must be grouped by direction
-    first, position second. Dead rays (t_max < t_min, i.e. culled shadow
-    pairs and retired lanes) sort to the end so they pack into all-dead
-    blocks with zero traversal candidates.
+    mode="dir":    dead(1) | octant(3) | dir-Morton(9) | origin-Morton(18).
+                   Direction bits lead — right for the WIDE conservative
+                   block frustum (64-ray packets): a block whose directions
+                   span a cone sees most of the scene.
+    mode="origin": dead(1) | origin-Morton(18) | octant(3) | dir-Morton(9).
+                   Origin bits lead — right for SMALL blocks whose cost is
+                   the union of per-ray candidate sets: candidates of short
+                   bounce rays are dominated by the near field around their
+                   shared origin region.
     """
     octant = (
         (directions[:, 0] < 0).astype(jnp.uint32) * 4
@@ -59,7 +63,10 @@ def _sort_keys(accel: ClusterAccel, origins, directions, t_max=None):
     ones = jnp.ones((3,), jnp.float32)
     dcell = morton3d(directions, -ones, ones, bits=3)       # 9 bits
     ocell = morton3d(origins, accel.scene_min, accel.scene_max, bits=6)  # 18
-    key = (octant << 27) | (dcell << 18) | ocell
+    if mode == "origin":
+        key = (ocell << 12) | (octant << 9) | dcell
+    else:
+        key = (octant << 27) | (dcell << 18) | ocell
     if t_max is not None:
         key = key | ((t_max < 0.0).astype(jnp.uint32) << 31)
     return key

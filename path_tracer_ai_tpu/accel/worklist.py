@@ -154,14 +154,16 @@ def _build_worklist(
             jnp.arange(scap, dtype=jnp.int32)[None, :] < ns[:, None]
         )
 
-        # Child boxes of candidate supers. Padding children carry inverted
-        # boxes (min > max) that fail the slab test without masking.
+        # Child boxes of candidate supers, gathered a WHOLE SUPER per row
+        # (contiguous [ss, 3] slabs; fine-grained 12-byte-row gathers were
+        # measured far slower). Padding children carry inverted boxes
+        # (min > max) that fail the slab test without masking.
         child = (
             sorder[:, :, None] * ss
             + jnp.arange(ss, dtype=jnp.int32)[None, None, :]
         ).reshape(rows, scap * ss)                             # [rows, K]
-        cbmin = accel.cbmin[child]                             # [rows, K, 3]
-        cbmax = accel.cbmax[child]
+        cbmin = accel.cbmin[sorder].reshape(rows, scap * ss, 3)
+        cbmax = accel.cbmax[sorder].reshape(rows, scap * ss, 3)
         lb, ub = _interval_slab(cbmin, cbmax, olo, ohi, dlo, dhi)
         slot_ok_k = jnp.repeat(slot_ok, ss, axis=1)
         cand = (
@@ -230,14 +232,27 @@ def _sweep_items(
     group: int,
     item_chunk: int,
     want_tri: bool,
+    intersector: str = "exact",
 ):
-    """Dense [chunk, B, g*S] sweeps over the flat item list (dynamic bound)."""
+    """Dense [chunk, B, g*S] sweeps over the flat item list (dynamic bound).
+
+    intersector "exact" = elementwise Möller–Trumbore (bitwise-identical to
+    the brute-force oracle); "mxu" = the matmul decomposition (accel.mxu) —
+    same math, different rounding, runs on the systolic array. For "mxu" use
+    a LARGE block (>=64) so the matmul's M dimension fills MXU rows.
+    """
     g = group
     b = o_blk.shape[1]
     i_cap = wl.item_block.shape[0]
     ic = item_chunk
     n_chunks = -(-wl.n_items // ic)                           # dynamic
     n_groups = wl.order_g.shape[1]
+
+    if intersector == "mxu":
+        from path_tracer_ai_tpu.accel import mxu
+
+        w_table = mxu.build_linear_table(accel)              # [C, 10, S, 4]
+        g_blocks = mxu.ray_features(o_blk, d_blk)            # [nb, B, 10]
 
     t_items0 = jnp.full((i_cap, b), jnp.inf, jnp.float32)
     tri_items0 = jnp.full((i_cap, b), I32_MAX, jnp.int32)
@@ -256,11 +271,19 @@ def _sweep_items(
         db = d_blk[blk]
         tb = jnp.where(live_item[:, None], tm_blk[blk], -1.0)
 
-        cv0 = accel.v0[cid].reshape(ic, g * accel.cluster_size, 3)
-        ce1 = accel.e1[cid].reshape(ic, -1, 3)
-        ce2 = accel.e2[cid].reshape(ic, -1, 3)
+        if intersector == "mxu":
+            from path_tracer_ai_tpu.accel import mxu
 
-        tt, ok = _mt_sweep(ob, db, cv0, ce1, ce2, t_min, tb)  # [ic, B, g*S]
+            wg = w_table[cid]                     # [ic, g, 10, S, 4]
+            ss_ = accel.cluster_size
+            wg = jnp.moveaxis(wg, 1, 2).reshape(ic, 10, g * ss_, 4)
+            gf = g_blocks[blk]                    # [ic, B, 10]
+            tt, ok = mxu.mxu_sweep(gf, wg, t_min, tb)
+        else:
+            cv0 = accel.v0[cid].reshape(ic, g * accel.cluster_size, 3)
+            ce1 = accel.e1[cid].reshape(ic, -1, 3)
+            ce2 = accel.e2[cid].reshape(ic, -1, 3)
+            tt, ok = _mt_sweep(ob, db, cv0, ce1, ce2, t_min, tb)  # [ic,B,g*S]
         # Mask candidate slots past the block's count (their order entries
         # are searchsorted garbage pointing at cluster c-1).
         slot_live = (
@@ -293,7 +316,8 @@ def _sweep_items(
     return jax.lax.fori_loop(0, n_chunks, body, init)
 
 
-def _prepare_blocks(accel, origins, directions, t_max, block, sort):
+def _prepare_blocks(accel, origins, directions, t_max, block, sort,
+                    sort_mode="origin"):
     """Pad to block granularity, sort for coherence, reshape to blocks."""
     n = origins.shape[0]
     pad = (-n) % block
@@ -303,7 +327,7 @@ def _prepare_blocks(accel, origins, directions, t_max, block, sort):
     npad = n + pad
 
     if sort:
-        keys = _sort_keys(accel, o, d, tm)
+        keys = _sort_keys(accel, o, d, tm, mode=sort_mode)
         perm = jnp.argsort(keys).astype(jnp.int32)
         o, d, tm = o[perm], d[perm], tm[perm]
     else:
@@ -332,7 +356,8 @@ def _unsort(arrs, perm, npad, n):
     jax.jit,
     static_argnames=(
         "block", "group", "cap", "item_budget", "row_chunk", "item_chunk",
-        "sort", "levels", "super_cap", "fallback_block", "fallback_compact",
+        "sort", "sort_mode", "intersector", "levels", "super_cap",
+        "fallback_block", "fallback_compact",
     ),
 )
 def closest_hit_worklist(
@@ -348,6 +373,8 @@ def closest_hit_worklist(
     row_chunk: int = 1 << 13,
     item_chunk: int = 1024,
     sort: bool = True,
+    sort_mode: str = "origin",
+    intersector: str = "exact",
     levels: int = 0,
     super_cap: int = 32,
     fallback_block: int = 64,
@@ -357,7 +384,7 @@ def closest_hit_worklist(
     n = origins.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     o_blk, d_blk, tm_blk, perm, npad = _prepare_blocks(
-        accel, origins, directions, t_max, block, sort
+        accel, origins, directions, t_max, block, sort, sort_mode
     )
     wl = _build_worklist(
         accel, o_blk, d_blk, tm_blk, t_min, cap, group, item_budget,
@@ -365,7 +392,7 @@ def closest_hit_worklist(
     )
     t_items, tri_items = _sweep_items(
         accel, wl, o_blk, d_blk, tm_blk, t_min, group, item_chunk,
-        want_tri=True,
+        want_tri=True, intersector=intersector,
     )
 
     # RESOLVE: each block min-reduces its own (contiguous) item rows.
@@ -409,7 +436,8 @@ def closest_hit_worklist(
     jax.jit,
     static_argnames=(
         "block", "group", "cap", "item_budget", "row_chunk", "item_chunk",
-        "sort", "levels", "super_cap", "fallback_block", "fallback_compact",
+        "sort", "sort_mode", "intersector", "levels", "super_cap",
+        "fallback_block", "fallback_compact",
     ),
 )
 def any_hit_worklist(
@@ -425,6 +453,8 @@ def any_hit_worklist(
     row_chunk: int = 1 << 13,
     item_chunk: int = 1024,
     sort: bool = True,
+    sort_mode: str = "origin",
+    intersector: str = "exact",
     levels: int = 0,
     super_cap: int = 32,
     fallback_block: int = 64,
@@ -434,7 +464,7 @@ def any_hit_worklist(
     n = origins.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     o_blk, d_blk, tm_blk, perm, npad = _prepare_blocks(
-        accel, origins, directions, t_max, block, sort
+        accel, origins, directions, t_max, block, sort, sort_mode
     )
     wl = _build_worklist(
         accel, o_blk, d_blk, tm_blk, t_min, cap, group, item_budget,
@@ -442,7 +472,7 @@ def any_hit_worklist(
     )
     (occ_items,) = _sweep_items(
         accel, wl, o_blk, d_blk, tm_blk, t_min, group, item_chunk,
-        want_tri=False,
+        want_tri=False, intersector=intersector,
     )
 
     n_groups = wl.order_g.shape[1]

@@ -90,7 +90,12 @@ def packet_backend(
         from path_tracer_ai_tpu.accel import worklist
 
         def closest(o, d, t_min, t_max):
-            return worklist.closest_hit_worklist(accel, o, d, RAY_TMIN, t_max)
+            # cap=96: incoherent bounce blocks routinely union 60-90
+            # candidate clusters; a larger cap is just buffer (sweep work
+            # tracks true counts) and keeps them off the fallback.
+            return worklist.closest_hit_worklist(
+                accel, o, d, RAY_TMIN, t_max, cap=96, item_budget=8
+            )
 
         def occlude(o, d, t_max):
             # Shadow waves arrive light-major (direct_lighting): consecutive

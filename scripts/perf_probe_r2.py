@@ -230,14 +230,21 @@ def main():
         o, d, tm = waves["bounce"]
         accel = accels["split128"]
         grid = [
-            dict(block=8, group=8, item_budget=6, item_chunk=1024),
-            dict(block=8, group=8, item_budget=6, item_chunk=1024, levels=2),
             dict(block=8, group=8, item_budget=6, item_chunk=1024, cap=96),
-            dict(block=16, group=8, item_budget=4, item_chunk=512),
-            dict(block=16, group=8, item_budget=4, item_chunk=512, cap=96),
-            dict(block=16, group=16, item_budget=3, item_chunk=512),
-            dict(block=4, group=8, item_budget=10, item_chunk=2048),
-            dict(block=8, group=16, item_budget=4, item_chunk=512),
+            dict(block=8, group=8, item_budget=6, item_chunk=4096, cap=96),
+            dict(block=8, group=16, item_budget=4, item_chunk=4096, cap=96),
+            dict(block=8, group=8, item_budget=6, item_chunk=4096, cap=96,
+                 sort_mode="dir"),
+            dict(block=16, group=8, item_budget=5, item_chunk=2048, cap=128),
+            dict(block=8, group=8, item_budget=6, item_chunk=4096, cap=96,
+                 levels=2),
+            dict(block=64, group=4, item_budget=40, item_chunk=512, cap=160,
+                 intersector="mxu"),
+            dict(block=128, group=4, item_budget=64, item_chunk=256, cap=256,
+                 intersector="mxu"),
+            dict(block=128, group=2, item_budget=128, item_chunk=256, cap=256,
+                 intersector="mxu"),
+            dict(block=128, group=4, item_budget=64, item_chunk=256, cap=256),
         ]
         for gset in grid:
             try:
@@ -250,6 +257,25 @@ def main():
                      mrays=round(n / dt / 1e6, 2), compile_s=round(cs, 1))
             except Exception as e:  # noqa: BLE001
                 emit("grid", **gset, error=str(e)[:200])
+        # small-cluster accels: less sweep arithmetic per candidate
+        for aname in ["split64"]:
+            for gset in [
+                dict(block=8, group=8, item_budget=8, item_chunk=1024),
+                dict(block=8, group=8, item_budget=8, item_chunk=1024,
+                     levels=2),
+                dict(block=16, group=8, item_budget=6, item_chunk=512),
+            ]:
+                try:
+                    dt, cs = timeit(
+                        lambda: worklist.closest_hit_worklist(
+                            accels[aname], o, d, 1e-3, tm, cap=96, **gset
+                        )
+                    )
+                    emit("grid_s64", **gset, ms=round(dt * 1e3, 1),
+                         mrays=round(n / dt / 1e6, 2), compile_s=round(cs, 1))
+                except Exception as e:  # noqa: BLE001
+                    emit("grid_s64", **gset, error=str(e)[:200])
+
         # shadow wave with and without sort
         o, d, tm = waves["shadow"]
         for sort in [True, False]:

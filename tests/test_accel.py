@@ -566,3 +566,36 @@ class TestWorklistTraversal:
                                    rtol=1e-5)
         np.testing.assert_array_equal(np.asarray(ph.tri)[m],
                                       np.asarray(bh.tri)[m])
+
+    def test_mxu_intersector_statistical(self, rng):
+        """The matmul (MXU) intersector is the same math with different
+        rounding: hits must agree except at epsilon-boundary cases, and t
+        must match closely where both agree."""
+        from path_tracer_ai_tpu.accel.worklist import closest_hit_worklist
+
+        tris = random_soup(rng, 500)
+        accel = build_clusters(tris, cluster_size=32)
+        o, d = random_rays(rng, 512)
+        ph = closest_hit_worklist(accel, o, d, 1e-3, np.inf,
+                                  intersector="mxu", block=64, group=4)
+        bh = closest_hit(tris, o, d, 1e-3, np.inf)
+        hit_m = np.asarray(ph.hit)
+        hit_b = np.asarray(bh.hit)
+        assert (hit_m != hit_b).mean() < 5e-3  # boundary flips only
+        both = hit_m & hit_b
+        np.testing.assert_allclose(np.asarray(ph.t)[both],
+                                   np.asarray(bh.t)[both], rtol=5e-3)
+        same_tri = np.asarray(ph.tri)[both] == np.asarray(bh.tri)[both]
+        assert same_tri.mean() > 0.99
+
+    def test_mxu_anyhit_statistical(self, rng):
+        from path_tracer_ai_tpu.accel.worklist import any_hit_worklist
+
+        tris = random_soup(rng, 300)
+        accel = build_clusters(tris, cluster_size=16)
+        o, d = random_rays(rng, 256)
+        tmax = jnp.asarray(rng.uniform(0.3, 12.0, 256).astype(np.float32))
+        pa = any_hit_worklist(accel, o, d, 1e-3, tmax, intersector="mxu",
+                              block=64, group=4)
+        ba = any_hit(tris, o, d, 1e-3, tmax)
+        assert (np.asarray(pa) != np.asarray(ba)).mean() < 5e-3
