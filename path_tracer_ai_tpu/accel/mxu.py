@@ -62,16 +62,29 @@ def ray_features(o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def mxu_sweep(g_feat, wg, t_min, t_max_blk):
+def mxu_sweep(g_feat, wg, t_min, t_max_blk, precision="highest"):
     """Dense intersection via batched matmul.
 
     g_feat: [I, B, 10] ray features; wg: [I, 10, K, 4] gathered cluster
     coefficient tables (K = group * S triangles); t_max_blk: [I, B].
     Returns (t [I, B, K] inf where invalid, ok mask) — the same contract as
     traverse._mt_sweep.
+
+    precision: TPU MXU matmul precision. The MXU natively multiplies in
+    bfloat16 (8 mantissa bits — relative error ~4e-3, which punches visible
+    cracks through shared triangle edges), so the DEFAULT jax precision is
+    NOT usable for intersection; "highest" (fp32-exact via multi-pass
+    decomposition) is the production setting, "high" (bf16x3) a measured
+    compromise, "default" exposed only for probing.
     """
+    prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[precision]
     q = jnp.einsum(
-        "ibf,ifkq->ibkq", g_feat, wg, preferred_element_type=jnp.float32
+        "ibf,ifkq->ibkq", g_feat, wg,
+        preferred_element_type=jnp.float32, precision=prec,
     )                                                # [I, B, K, 4]
     a = q[..., 0]
     ok = jnp.abs(a) > MT_EPSILON

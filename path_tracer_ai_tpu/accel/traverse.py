@@ -116,13 +116,32 @@ def _interval_slab(bmin, bmax, olo, ohi, dlo, dhi):
     return lb, ub
 
 
-def _ray_block_bounds(o_blk, d_blk):
-    """Per-block origin/direction interval bounds ([B, R, 3] -> [B, 3] x4)."""
+def _ray_block_bounds(o_blk, d_blk, live=None):
+    """Per-block origin/direction interval bounds ([B, R, 3] -> [B, 3] x4).
+
+    live: optional [B, R] mask; DEAD lanes are excluded from the bounds.
+    Dead lanes carry pinned placeholder rays (e.g. direct_lighting pins
+    inactive lanes to origin 0), which would otherwise widen a mixed block's
+    interval box to include the placeholder point and inflate its candidate
+    union. Exactness is unaffected: dead lanes produce no intersections
+    (t_max < 0 fails every MT window), and all-dead blocks yield inverted/
+    NaN bounds whose slab comparisons are all false — and are additionally
+    killed by the caller's tmax_ub >= 0 guard.
+    """
+    if live is None:
+        return (
+            jnp.min(o_blk, axis=1),
+            jnp.max(o_blk, axis=1),
+            jnp.min(d_blk, axis=1),
+            jnp.max(d_blk, axis=1),
+        )
+    m = live[..., None]
+    inf = jnp.float32(jnp.inf)
     return (
-        jnp.min(o_blk, axis=1),
-        jnp.max(o_blk, axis=1),
-        jnp.min(d_blk, axis=1),
-        jnp.max(d_blk, axis=1),
+        jnp.min(jnp.where(m, o_blk, inf), axis=1),
+        jnp.max(jnp.where(m, o_blk, -inf), axis=1),
+        jnp.min(jnp.where(m, d_blk, inf), axis=1),
+        jnp.max(jnp.where(m, d_blk, -inf), axis=1),
     )
 
 

@@ -111,7 +111,7 @@ def _build_worklist(
 
     def one_chunk_flat(args):
         oc, dc, tc = args
-        olo, ohi, dlo, dhi = _ray_block_bounds(oc, dc)
+        olo, ohi, dlo, dhi = _ray_block_bounds(oc, dc, live=tc >= 0.0)
         lb, ub = _interval_slab(accel.bmin, accel.bmax, olo, ohi, dlo, dhi)
         tmax_ub = jnp.max(tc, axis=1)
         # Inclusive bound (flat AABBs must stay in) + dead-block kill.
@@ -138,7 +138,7 @@ def _build_worklist(
         ss = accel.super_size
         cs = accel.num_supers
         scap = min(super_cap, cs)
-        olo, ohi, dlo, dhi = _ray_block_bounds(oc, dc)
+        olo, ohi, dlo, dhi = _ray_block_bounds(oc, dc, live=tc >= 0.0)
         tmax_ub = jnp.max(tc, axis=1)
         live = (tmax_ub >= 0.0)[:, None]
 
@@ -239,7 +239,9 @@ def _sweep_items(
     intersector "exact" = elementwise Möller–Trumbore (bitwise-identical to
     the brute-force oracle); "mxu" = the matmul decomposition (accel.mxu) —
     same math, different rounding, runs on the systolic array. For "mxu" use
-    a LARGE block (>=64) so the matmul's M dimension fills MXU rows.
+    a LARGE block (>=64) so the matmul's M dimension fills MXU rows. An
+    optional ":precision" suffix ("mxu:high", "mxu:default") selects the
+    matmul precision (see accel.mxu.mxu_sweep); bare "mxu" = "highest".
     """
     g = group
     b = o_blk.shape[1]
@@ -248,7 +250,11 @@ def _sweep_items(
     n_chunks = -(-wl.n_items // ic)                           # dynamic
     n_groups = wl.order_g.shape[1]
 
-    if intersector == "mxu":
+    is_mxu = intersector.startswith("mxu")
+    mxu_prec = (
+        intersector.split(":", 1)[1] if ":" in intersector else "highest"
+    )
+    if is_mxu:
         from path_tracer_ai_tpu.accel import mxu
 
         w_table = mxu.build_linear_table(accel)              # [C, 10, S, 4]
@@ -271,14 +277,14 @@ def _sweep_items(
         db = d_blk[blk]
         tb = jnp.where(live_item[:, None], tm_blk[blk], -1.0)
 
-        if intersector == "mxu":
+        if is_mxu:
             from path_tracer_ai_tpu.accel import mxu
 
             wg = w_table[cid]                     # [ic, g, 10, S, 4]
             ss_ = accel.cluster_size
             wg = jnp.moveaxis(wg, 1, 2).reshape(ic, 10, g * ss_, 4)
             gf = g_blocks[blk]                    # [ic, B, 10]
-            tt, ok = mxu.mxu_sweep(gf, wg, t_min, tb)
+            tt, ok = mxu.mxu_sweep(gf, wg, t_min, tb, precision=mxu_prec)
         else:
             cv0 = accel.v0[cid].reshape(ic, g * accel.cluster_size, 3)
             ce1 = accel.e1[cid].reshape(ic, -1, 3)

@@ -497,6 +497,45 @@ class TestWorklistTraversal:
         tmax = jnp.asarray(rng.uniform(0.3, 12.0, 128).astype(np.float32))
         self._check_closest(tris, accel, o, d, t_max=tmax)
 
+    def test_dead_lanes_pinned_to_placeholder_unsorted(self, rng):
+        """The shadow-wave pattern: dead lanes pinned to origin 0 / +x axis
+        interleaved with live lanes, traversed UNSORTED so blocks mix them.
+        The cull must exclude dead lanes from the block bounds (they would
+        otherwise drag every mixed block's box to the placeholder point) and
+        results must stay exact for live lanes, at both cull levels."""
+        from path_tracer_ai_tpu.accel.worklist import (
+            any_hit_worklist,
+            closest_hit_worklist,
+        )
+        from path_tracer_ai_tpu.engine.intersect import any_hit, closest_hit
+
+        tris = random_soup(rng, 600)
+        accel = build_clusters(tris, cluster_size=16, super_size=4)
+        o, d = random_rays(rng, 256)
+        dead = np.zeros(256, bool)
+        dead[rng.permutation(256)[:100]] = True
+        o = jnp.where(jnp.asarray(dead)[:, None], 0.0, o)
+        unit_x = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+        d = jnp.where(jnp.asarray(dead)[:, None], unit_x, d)
+        tmax = np.where(dead, -1.0, rng.uniform(0.5, 14.0, 256)).astype(
+            np.float32
+        )
+        tmax = jnp.asarray(tmax)
+        bh = closest_hit(tris, o, d, 1e-3, tmax)
+        ba = any_hit(tris, o, d, 1e-3, tmax)
+        for levels in (1, 2):
+            ph = closest_hit_worklist(accel, o, d, 1e-3, tmax, sort=False,
+                                      levels=levels)
+            assert not np.asarray(ph.hit)[dead].any()
+            np.testing.assert_array_equal(np.asarray(ph.hit),
+                                          np.asarray(bh.hit))
+            m = np.asarray(bh.hit)
+            np.testing.assert_allclose(np.asarray(ph.t)[m],
+                                       np.asarray(bh.t)[m], rtol=1e-5)
+            pa = any_hit_worklist(accel, o, d, 1e-3, tmax, sort=False,
+                                  levels=levels)
+            np.testing.assert_array_equal(np.asarray(pa), np.asarray(ba))
+
     def test_two_level_cull_matches_flat_and_bruteforce(self, rng):
         """The supercluster prefilter (levels=2) must agree exactly with the
         flat cull (levels=1) and brute force."""
