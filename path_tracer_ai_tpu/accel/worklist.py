@@ -323,7 +323,7 @@ def _sweep_items(
 
 
 def _prepare_blocks(accel, origins, directions, t_max, block, sort,
-                    sort_mode="origin"):
+                    sort_mode="dir"):
     """Pad to block granularity, sort for coherence, reshape to blocks."""
     n = origins.shape[0]
     pad = (-n) % block
@@ -379,7 +379,7 @@ def closest_hit_worklist(
     row_chunk: int = 1 << 13,
     item_chunk: int = 1024,
     sort: bool = True,
-    sort_mode: str = "origin",
+    sort_mode: str = "dir",
     intersector: str = "exact",
     levels: int = 0,
     super_cap: int = 32,
@@ -459,7 +459,7 @@ def any_hit_worklist(
     row_chunk: int = 1 << 13,
     item_chunk: int = 1024,
     sort: bool = True,
-    sort_mode: str = "origin",
+    sort_mode: str = "dir",
     intersector: str = "exact",
     levels: int = 0,
     super_cap: int = 32,

@@ -194,14 +194,16 @@ def packet_backend(
 
 
 def default_backend() -> str:
-    """Production traversal backend: cluster-major pair tiles.
+    """Production traversal backend, chosen by full-render measurement.
 
-    Chosen over the round-1 "packets" cascade because pair tiles do exact
-    per-ray candidate work (no block-union waste, the measured round-1
-    ceiling) with zero per-item scheduling overhead; see
-    docs/ARCHITECTURE.md for the measured comparison.
+    v5e, 82k-tri scene, 1080p@2spp/5b (scripts/perf_probe_r2.py, round 2):
+    packets 1.83 Mrays/s vs worklist 0.85. The pair/worklist backends do
+    exact per-ray candidate work, but their flat-table costs (extraction,
+    resolve gathers, small-block sweep shapes) currently outweigh the
+    block-union waste they remove; they stay available as opt-ins while
+    that gap is closed. See docs/ARCHITECTURE.md for the decomposition.
     """
-    return "pairs"
+    return "packets"
 
 
 def default_use_pallas() -> bool:
