@@ -37,13 +37,14 @@ from functools import partial
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from path_tracer_ai_tpu.accel.clusters import ClusterAccel
 from path_tracer_ai_tpu.accel import traverse
 from path_tracer_ai_tpu.accel.traverse import PacketHit, _mt_sweep
 
-I32_MAX = jnp.int32(2**31 - 1)
+I32_MAX = np.int32(2**31 - 1)  # np scalar: inlines as a literal in every trace
 
 
 class PairTables(NamedTuple):
@@ -338,6 +339,7 @@ def _overflow_fallback(
 
 @partial(
     jax.jit,
+    inline=True,
     static_argnames=(
         "cap", "pair_budget", "tile_rays", "row_chunk", "tile_chunk",
         "fallback_block", "fallback_compact",
@@ -394,6 +396,7 @@ def closest_hit_pairs(
 
 @partial(
     jax.jit,
+    inline=True,
     static_argnames=(
         "cap", "pair_budget", "tile_rays", "row_chunk", "tile_chunk",
         "fallback_block", "fallback_compact",

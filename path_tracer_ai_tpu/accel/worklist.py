@@ -33,8 +33,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from path_tracer_ai_tpu.accel import pairs as pairs_mod
 from path_tracer_ai_tpu.accel.clusters import ClusterAccel
-from path_tracer_ai_tpu.accel.pairs import I32_MAX, _overflow_fallback
+from path_tracer_ai_tpu.accel.pairs import I32_MAX
 from path_tracer_ai_tpu.accel.traverse import (
     PacketHit,
     _interval_slab,
@@ -42,6 +43,105 @@ from path_tracer_ai_tpu.accel.traverse import (
     _ray_block_bounds,
     _sort_keys,
 )
+
+
+def _overflow_fallback(
+    accel: ClusterAccel,
+    origins,
+    directions,
+    t_min,
+    t_max,
+    overflow,
+    want_tri: bool,
+    compact_cap: int,
+    fallback_block: int,
+):
+    """Complete overflow rays via PER-RAY pair tiles on a compacted wave.
+
+    The worklist's overflow population is the incoherent candidate TAIL
+    (measured on v5e bounce waves: 11-22% of 8-blocks exceed cap 96/64 and
+    carry ~half the total candidate volume) — exactly where block unions
+    are worthless and per-ray-exact scheduling is cheap. Ray counts are a
+    small fraction of the wave, so the pair path's per-ray cull and
+    permutation scatter (its full-wave costs) stay tiny. pairs itself
+    completes ITS rare overflow (per-ray candidates > cap) via the packet
+    path, so every ray still resolves exactly.
+
+    Returns wave-aligned arrays meaningful on overflow lanes only.
+    """
+    n = origins.shape[0]
+    count = jnp.sum(overflow.astype(jnp.int32))
+
+    if want_tri:
+        empty = (jnp.full((n,), jnp.inf, jnp.float32),
+                 jnp.full((n,), -1, jnp.int32))
+    else:
+        empty = (jnp.zeros((n,), bool),)
+
+    pair_kw = dict(cap=64, pair_budget=12, fallback_block=fallback_block)
+
+    def whole_wave(_):
+        # Last resort when MORE than compact_cap rays overflowed: the pair
+        # path's per-ray table costs are prohibitive at whole-wave scale
+        # (measured 2.3-2.4s per 2^20 wave on v5e), so the packet cascade —
+        # whose dead-lane sort packs the non-overflow majority into inert
+        # blocks — completes the tail instead.
+        from path_tracer_ai_tpu.accel import traverse
+
+        tmx = jnp.where(overflow, t_max, -1.0)
+        pad = (-n) % fallback_block
+        fo = jnp.pad(origins, ((0, pad), (0, 0)))
+        fd = jnp.pad(directions, ((0, pad), (0, 0)), constant_values=1.0)
+        ftm = jnp.pad(tmx, (0, pad), constant_values=-1.0)
+        if want_tri:
+            fb = traverse.closest_hit_packets(
+                accel, fo, fd, t_min, ftm, block_size=fallback_block
+            )
+            return fb.t[:n], fb.tri[:n]
+        fb = traverse.any_hit_packets(
+            accel, fo, fd, t_min, ftm, block_size=fallback_block
+        )
+        return (fb[:n],)
+
+    def small_wave(_):
+        tmx = jnp.where(overflow, t_max, -1.0)
+        if want_tri:
+            fb = pairs_mod.closest_hit_pairs(
+                accel, origins, directions, t_min, tmx, **pair_kw
+            )
+            return fb.t, fb.tri
+        return (pairs_mod.any_hit_pairs(
+            accel, origins, directions, t_min, tmx, **pair_kw
+        ),)
+
+    k = min(compact_cap, n)
+    if n <= k:
+        return jax.lax.cond(count > 0, small_wave, lambda _: empty, None)
+
+    def compact_branch(_):
+        # Gather the overflow rays into a small dense wave. fill_value=n is
+        # out of range: gathers clamp (dead lanes), scatters drop.
+        idx = jnp.nonzero(overflow, size=k, fill_value=n)[0].astype(jnp.int32)
+        live = jnp.arange(k, dtype=jnp.int32) < count
+        gi = jnp.minimum(idx, n - 1)
+        o = origins[gi]
+        d = jnp.where(live[:, None], directions[gi], 1.0)
+        tmx = jnp.where(live, t_max[gi], -1.0)
+        if want_tri:
+            fb = pairs_mod.closest_hit_pairs(accel, o, d, t_min, tmx,
+                                             **pair_kw)
+            t_full = empty[0].at[idx].set(fb.t, mode="drop")
+            tri_full = empty[1].at[idx].set(fb.tri, mode="drop")
+            return t_full, tri_full
+        fb = pairs_mod.any_hit_pairs(accel, o, d, t_min, tmx, **pair_kw)
+        return (empty[0].at[idx].set(fb, mode="drop"),)
+
+    return jax.lax.cond(
+        count == 0,
+        lambda _: empty,
+        lambda _: jax.lax.cond(count <= k, compact_branch, whole_wave, _),
+        None,
+    )
 
 
 def _extract_k(neg: jnp.ndarray, k: int, neg_big) -> jnp.ndarray:
@@ -360,6 +460,7 @@ def _unsort(arrs, perm, npad, n):
 
 @partial(
     jax.jit,
+    inline=True,
     static_argnames=(
         "block", "group", "cap", "item_budget", "row_chunk", "item_chunk",
         "sort", "sort_mode", "intersector", "levels", "super_cap",
@@ -440,6 +541,7 @@ def closest_hit_worklist(
 
 @partial(
     jax.jit,
+    inline=True,
     static_argnames=(
         "block", "group", "cap", "item_budget", "row_chunk", "item_chunk",
         "sort", "sort_mode", "intersector", "levels", "super_cap",

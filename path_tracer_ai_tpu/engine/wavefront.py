@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import math
 import time
+import functools
 from functools import partial
 from typing import Optional
 
@@ -47,6 +48,24 @@ from path_tracer_ai_tpu.utils.logging import get_logger, render_banner
 
 log = get_logger(__name__)
 
+# worklist-backend tuning (module-level so perf probes can retune without
+# editing code; values are static jit args, so changing them recompiles).
+# Measured v5e round 2: dir-major sort cuts bounce-wave overflow 5x vs
+# origin-major (28k vs 143k rays past cap=96) and tables to 39ms/2^20.
+WORKLIST_CLOSEST_KW = dict(cap=96, item_budget=8)
+WORKLIST_OCCLUDE_KW = dict(sort=False)
+HYBRID_CLOSEST_KW = dict(cap=32, pair_budget=8)
+KSLOTS_CLOSEST_KW = dict(k_supers=6, k_clusters=12)
+KSLOTS_OCCLUDE_KW = dict(k_supers=6, k_clusters=8)
+
+
+def clear_executable_caches():
+    """Drop cached render executables (needed after retuning the KW dicts
+    above, which are read at trace time and are NOT part of any jit key)."""
+    _wave_exe.cache_clear()
+    _pool_exe.cache_clear()
+    jax.clear_caches()
+
 
 def packet_backend(
     accel: ClusterAccel,
@@ -57,12 +76,19 @@ def packet_backend(
 ):
     """Traversal backend over the cluster structure.
 
-    backend selects the traversal architecture:
-    - "pairs" (production default): cluster-major exact pair tiles
-      (accel.pairs) — per-ray exact candidate work, dense [tile, S] sweeps.
+    backend selects the traversal architecture (default_backend() picks the
+    measured full-render winner):
     - "packets": conservative block-cull cascade (accel.traverse) — the
-      round-1 path, kept as the pair path's overflow fallback and as an
-      independent exact implementation for cross-checks.
+      round-1 path, also every other backend's last-resort fallback.
+    - "worklist": block-major flat work items (accel.worklist), heavy tail
+      completed per-ray via pair tiles.
+    - "kslots": per-ray K-slot traversal (accel.kslots) — per-ray exact
+      candidates via 2-level descent + popcount-bitmask extraction, ONE
+      dense [rows, K*S] sweep; no blocks, no sort, no scatter.
+    - "pairs": cluster-major exact pair tiles (accel.pairs) — per-ray exact
+      candidate work, dense [tile, S] sweeps.
+    - "hybrid": pairs for closest waves, unsorted worklist for the
+      light-major shadow waves.
     - "perray": per-ray cascade experiment (traverse.*_perray).
     - "pallas": fused Pallas sweep kernels (accel.pallas_sweep).
     Legacy flags: use_pallas=True -> "pallas"; block_size == 1 -> "perray".
@@ -86,15 +112,53 @@ def packet_backend(
 
         return closest, occlude
 
+    if backend == "kslots":
+        from path_tracer_ai_tpu.accel import kslots
+
+        def closest(o, d, t_min, t_max):
+            return kslots.closest_hit_kslots(
+                accel, o, d, RAY_TMIN, t_max, **KSLOTS_CLOSEST_KW
+            )
+
+        def occlude(o, d, t_max):
+            return kslots.any_hit_kslots(
+                accel, o, d, RAY_TMIN, t_max, **KSLOTS_OCCLUDE_KW
+            )
+
+        return closest, occlude
+
+    if backend == "hybrid":
+        # Measured shape of the workload (docs/ARCHITECTURE.md round 2):
+        # bounce closest waves have heavy-tailed block unions (8-block mean
+        # 75 candidates vs ~4-6 per-ray exact), so per-ray pair scheduling
+        # wins there; shadow waves are light-major coherent, so the
+        # block-major worklist (unsorted) wins there.
+        from path_tracer_ai_tpu.accel import pairs, worklist
+
+        def closest(o, d, t_min, t_max):
+            return pairs.closest_hit_pairs(
+                accel, o, d, RAY_TMIN, t_max, **HYBRID_CLOSEST_KW
+            )
+
+        def occlude(o, d, t_max):
+            return worklist.any_hit_worklist(
+                accel, o, d, RAY_TMIN, t_max, **WORKLIST_OCCLUDE_KW
+            )
+
+        return closest, occlude
+
     if backend == "worklist":
         from path_tracer_ai_tpu.accel import worklist
 
+        # Module-level so perf probes can retune without editing code.
+        # cap=96: incoherent bounce blocks routinely union 60-90 candidate
+        # clusters; cap is buffer only (sweep work tracks true counts) and
+        # keeps them off the fallback, which completes the heavy tail via
+        # per-ray pair tiles (worklist._overflow_fallback).
+
         def closest(o, d, t_min, t_max):
-            # cap=96: incoherent bounce blocks routinely union 60-90
-            # candidate clusters; a larger cap is just buffer (sweep work
-            # tracks true counts) and keeps them off the fallback.
             return worklist.closest_hit_worklist(
-                accel, o, d, RAY_TMIN, t_max, cap=96, item_budget=8
+                accel, o, d, RAY_TMIN, t_max, **WORKLIST_CLOSEST_KW
             )
 
         def occlude(o, d, t_max):
@@ -102,7 +166,7 @@ def packet_backend(
             # lanes share a light and neighbor pixels — already coherent.
             # Measured on v5e: sort=False is 1.4x faster on these waves.
             return worklist.any_hit_worklist(accel, o, d, RAY_TMIN, t_max,
-                                             sort=False)
+                                             **WORKLIST_OCCLUDE_KW)
 
         return closest, occlude
 
@@ -220,22 +284,37 @@ def default_use_pallas() -> bool:
     return False
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "w", "h", "sc", "pix_chunk", "lanes_padded",
-        "block_size", "max_bounces", "aspect", "use_pallas", "backend",
-    ),
-)
+@functools.lru_cache(maxsize=None)
+def _wave_exe(**statics):
+    """One jit object per static configuration (keyed by the lru cache).
+
+    A single shared jit with static_argnames hits a jax-0.9 executable-cache
+    collision on multi-device hosts when different `backend` values keep
+    different operand subsets (each backend reads a different subset of the
+    accel arrays, so kept_var_idx differs: "supplied 32 buffers but compiled
+    program expected 35"). Separate jit objects per static key sidestep it
+    and preserve cross-render executable caching.
+    """
+    return jax.jit(functools.partial(_render_wave_impl, **statics))
+
+
 def _render_wave(
+    scene, accel, camera, base_key, xs, ys, s0, spp, **statics
+):
+    return _wave_exe(**statics)(
+        scene, accel, camera, base_key, xs, ys, s0, spp
+    )
+
+
+def _render_wave_impl(
     scene, accel, camera, base_key, xs, ys, s0, spp,
     *, w, h, sc, pix_chunk, lanes_padded, block_size, max_bounces, aspect,
     use_pallas=False, backend=None,
 ):
     """One wave: `pix_chunk` pixels x `sc` consecutive samples.
 
-    Top-level jit with static shape params so the compiled executable is
-    cached ACROSS render() calls (scene/camera/key are traced operands).
+    Jitted via _wave_exe with static shape params so the compiled executable
+    is cached ACROSS render() calls (scene/camera/key are traced operands).
     """
     closest, occlude = packet_backend(
         accel, block_size, use_pallas=use_pallas, backend=backend
@@ -277,14 +356,20 @@ def _render_wave(
     return acc, cnt, nc, ns
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "w", "h", "pix_chunk", "pool_size",
-        "block_size", "max_bounces", "aspect", "use_pallas", "backend",
-    ),
-)
-def _render_pool(
+@functools.lru_cache(maxsize=None)
+def _pool_exe(**statics):
+    """Per-static-key jit object; see _wave_exe for why not static_argnames."""
+    return jax.jit(functools.partial(_render_pool_impl, **statics))
+
+
+def _render_pool(scene, accel, camera, base_key, xs, ys, s_start, spp,
+                 **statics):
+    return _pool_exe(**statics)(
+        scene, accel, camera, base_key, xs, ys, s_start, spp
+    )
+
+
+def _render_pool_impl(
     scene, accel, camera, base_key, xs, ys, s_start, spp,
     *, w, h, pix_chunk, pool_size, block_size, max_bounces, aspect,
     use_pallas=False, backend=None,

@@ -100,11 +100,11 @@ def test_wavefront_render_with_pallas_backend(rng):
     orig = wf.packet_backend
     try:
         wf.packet_backend = functools.partial(orig, interpret=True)
-        wf._render_wave._clear_cache()
+        wf.clear_executable_caches()
         img_p = wavefront.render(scene, camera, s, accel=accel,
                                  wave_size=24 * 24, block_size=64,
                                  use_pallas=True)
     finally:
         wf.packet_backend = orig
-        wf._render_wave._clear_cache()
+        wf.clear_executable_caches()
     np.testing.assert_allclose(img_x, img_p, atol=1e-5)

@@ -47,6 +47,21 @@ def test_wave_size_invariance(room_scene):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_backend_equivalence(room_scene):
+    """Every traversal backend is exact, so same-seed images must be
+    bit-identical across backends (identical RNG streams and shading; the
+    only degrees of freedom are traversal results, which are exact)."""
+    ref = wavefront.render(room_scene, default_camera(), SETTINGS,
+                           wave_size=1 << 12, block_size=64,
+                           backend="packets")
+    for backend in ["worklist", "pairs", "hybrid", "kslots"]:
+        img = wavefront.render(room_scene, default_camera(), SETTINGS,
+                               wave_size=1 << 12, block_size=64,
+                               backend=backend)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(img),
+                                      err_msg=backend)
+
+
 def test_stats_count_rays(room_scene):
     st = wavefront.RenderStats()
     wavefront.render(room_scene, default_camera(), SETTINGS,
