@@ -54,6 +54,14 @@ def _sort_keys(accel: ClusterAccel, origins, directions, t_max=None,
                    the union of per-ray candidate sets: candidates of short
                    bounce rays are dominated by the near field around their
                    shared origin region.
+    mode="octorig": dead(1) | octant(3) | origin-Morton(21).
+                   Octant leads, then FINE origin — a block never mixes
+                   octants (each octant's interval slab is tight) and its
+                   rays share an origin cell; the fine dir-Morton bits are
+                   dropped (noise at small blocks: diffuse bounce dirs are
+                   near-uniform within an octant).
+    mode="origoct": dead(1) | origin-Morton(21) | octant(3).
+                   Fine origin leads, octant breaks ties within a cell.
     """
     octant = (
         (directions[:, 0] < 0).astype(jnp.uint32) * 4
@@ -61,12 +69,21 @@ def _sort_keys(accel: ClusterAccel, origins, directions, t_max=None,
         + (directions[:, 2] < 0).astype(jnp.uint32)
     )
     ones = jnp.ones((3,), jnp.float32)
-    dcell = morton3d(directions, -ones, ones, bits=3)       # 9 bits
-    ocell = morton3d(origins, accel.scene_min, accel.scene_max, bits=6)  # 18
-    if mode == "origin":
-        key = (ocell << 12) | (octant << 9) | dcell
+    if mode == "octorig":
+        ocell7 = morton3d(origins, accel.scene_min, accel.scene_max, bits=7)
+        key = (octant << 21) | ocell7
+    elif mode == "origoct":
+        ocell7 = morton3d(origins, accel.scene_min, accel.scene_max, bits=7)
+        key = (ocell7 << 3) | octant
     else:
-        key = (octant << 27) | (dcell << 18) | ocell
+        dcell = morton3d(directions, -ones, ones, bits=3)   # 9 bits
+        ocell = morton3d(
+            origins, accel.scene_min, accel.scene_max, bits=6
+        )  # 18
+        if mode == "origin":
+            key = (ocell << 12) | (octant << 9) | dcell
+        else:
+            key = (octant << 27) | (dcell << 18) | ocell
     if t_max is not None:
         key = key | ((t_max < 0.0).astype(jnp.uint32) << 31)
     return key

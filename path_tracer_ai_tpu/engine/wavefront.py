@@ -57,6 +57,8 @@ WORKLIST_OCCLUDE_KW = dict(sort=False)
 HYBRID_CLOSEST_KW = dict(cap=32, pair_budget=8)
 KSLOTS_CLOSEST_KW = dict(k_supers=6, k_clusters=12)
 KSLOTS_OCCLUDE_KW = dict(k_supers=6, k_clusters=8)
+CTILES_CLOSEST_KW = dict()
+CTILES_OCCLUDE_KW = dict()
 
 
 def clear_executable_caches():
@@ -85,6 +87,9 @@ def packet_backend(
     - "kslots": per-ray K-slot traversal (accel.kslots) — per-ray exact
       candidates via 2-level descent + popcount-bitmask extraction, ONE
       dense [rows, K*S] sweep; no blocks, no sort, no scatter.
+    - "ctiles": cluster-major tiles (accel.ctiles) — per-ray-exact OR-union
+      culling, items transposed cluster-major so each tile's 128 rays share
+      one gathered cluster.
     - "pairs": cluster-major exact pair tiles (accel.pairs) — per-ray exact
       candidate work, dense [tile, S] sweeps.
     - "hybrid": pairs for closest waves, unsorted worklist for the
@@ -123,6 +128,21 @@ def packet_backend(
         def occlude(o, d, t_max):
             return kslots.any_hit_kslots(
                 accel, o, d, RAY_TMIN, t_max, **KSLOTS_OCCLUDE_KW
+            )
+
+        return closest, occlude
+
+    if backend == "ctiles":
+        from path_tracer_ai_tpu.accel import ctiles
+
+        def closest(o, d, t_min, t_max):
+            return ctiles.closest_hit_ctiles(
+                accel, o, d, RAY_TMIN, t_max, **CTILES_CLOSEST_KW
+            )
+
+        def occlude(o, d, t_max):
+            return ctiles.any_hit_ctiles(
+                accel, o, d, RAY_TMIN, t_max, **CTILES_OCCLUDE_KW
             )
 
         return closest, occlude

@@ -404,6 +404,100 @@ class TestPairTraversal:
             assert hi >= lo - 1e-4
 
 
+class TestCtilesTraversal:
+    """Cluster-major tile traversal (accel.ctiles): exact vs brute force."""
+
+    def _check(self, tris, accel, o, d, t_max=np.inf, **kw):
+        from path_tracer_ai_tpu.accel.ctiles import (
+            any_hit_ctiles,
+            closest_hit_ctiles,
+        )
+
+        kw.setdefault("row_chunk", 32)
+        kw.setdefault("tile_chunk", 4)
+        ph = closest_hit_ctiles(accel, o, d, 1e-3, t_max, **kw)
+        bh = closest_hit(tris, o, d, 1e-3, t_max)
+        np.testing.assert_array_equal(np.asarray(ph.hit), np.asarray(bh.hit))
+        m = np.asarray(bh.hit)
+        np.testing.assert_allclose(np.asarray(ph.t)[m], np.asarray(bh.t)[m],
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(ph.tri)[m],
+                                      np.asarray(bh.tri)[m])
+        tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                                    (o.shape[0],))
+        pa = any_hit_ctiles(accel, o, d, 1e-3, tmax_arr, **kw)
+        ba = any_hit(tris, o, d, 1e-3, tmax_arr)
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(ba))
+
+    def test_matches_bruteforce(self, rng):
+        tris = random_soup(rng, 600)
+        accel = build_clusters(tris, cluster_size=16, super_size=4)
+        o, d = random_rays(rng, 300)
+        self._check(tris, accel, o, d)
+
+    def test_small_blocks_and_tiles(self, rng):
+        tris = random_soup(rng, 300)
+        accel = build_clusters(tris, cluster_size=16)
+        o, d = random_rays(rng, 200)
+        self._check(tris, accel, o, d, block=4, tile_blocks=8)
+
+    def test_per_ray_pairs_block1(self, rng):
+        """block=1: pure per-ray-exact pair scheduling (peel extraction)."""
+        tris = random_soup(rng, 500)
+        accel = build_clusters(tris, cluster_size=16)
+        o, d = random_rays(rng, 192)
+        self._check(tris, accel, o, d, block=1, cap=24, tile_blocks=64,
+                    item_budget=40)
+
+    def test_cap_overflow_fallback(self, rng):
+        tris = random_soup(rng, 800, spread=2.0)
+        accel = build_clusters(tris, cluster_size=8, super_size=4)
+        o, d = random_rays(rng, 128, spread=3.0)
+        self._check(tris, accel, o, d, cap=4)
+
+    def test_budget_overflow_fallback(self, rng):
+        tris = random_soup(rng, 600, spread=2.0)
+        accel = build_clusters(tris, cluster_size=8, super_size=4)
+        o, d = random_rays(rng, 128, spread=3.0)
+        self._check(tris, accel, o, d, item_budget=2)
+
+    def test_per_ray_tmax_and_dead_lanes(self, rng):
+        tris = random_soup(rng, 400)
+        accel = build_clusters(tris, cluster_size=16, super_size=4)
+        o, d = random_rays(rng, 256)
+        tmax = rng.uniform(0.3, 12.0, 256).astype(np.float32)
+        tmax[::3] = -1.0
+        self._check(tris, accel, o, d, t_max=jnp.asarray(tmax))
+
+    def test_unsorted_and_sort_modes(self, rng):
+        tris = random_soup(rng, 300)
+        accel = build_clusters(tris, cluster_size=16)
+        o, d = random_rays(rng, 128)
+        self._check(tris, accel, o, d, sort=False)
+        self._check(tris, accel, o, d, sort_mode="dir")
+
+    def test_coplanar_cluster_flat_aabb(self, rng):
+        cells = []
+        for i in range(8):
+            for j in range(8):
+                x, z = i - 4.0, j - 4.0
+                cells.append(([x, 0, z], [x + 1, 0, z], [x, 0, z + 1]))
+        v0 = np.asarray([c[0] for c in cells], np.float32)
+        v1 = np.asarray([c[1] for c in cells], np.float32)
+        v2 = np.asarray([c[2] for c in cells], np.float32)
+        nrm = np.tile([[0, 1, 0]], (64, 1)).astype(np.float32)
+        uv = np.zeros((64, 2), np.float32)
+        tris = triangles_from_numpy(v0, v1, v2, nrm, nrm, nrm, uv, uv, uv,
+                                    np.zeros(64, np.int32))
+        accel = build_clusters(tris, cluster_size=16, super_size=2)
+        o = jnp.asarray(rng.uniform(-3.5, 3.5, (64, 3)).astype(np.float32))
+        o = o.at[:, 1].set(2.0)
+        d = rng.standard_normal((64, 3)).astype(np.float32)
+        d[:, 1] = -np.abs(d[:, 1]) - 0.5
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        self._check(tris, accel, o, jnp.asarray(d))
+
+
 class TestKslotsTraversal:
     """Per-ray K-slot traversal (accel.kslots): exact vs brute force."""
 

@@ -54,7 +54,7 @@ def test_backend_equivalence(room_scene):
     ref = wavefront.render(room_scene, default_camera(), SETTINGS,
                            wave_size=1 << 12, block_size=64,
                            backend="packets")
-    for backend in ["worklist", "pairs", "hybrid", "kslots"]:
+    for backend in ["worklist", "pairs", "hybrid", "kslots", "ctiles"]:
         img = wavefront.render(room_scene, default_camera(), SETTINGS,
                                wave_size=1 << 12, block_size=64,
                                backend=backend)
