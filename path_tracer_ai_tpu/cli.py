@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scheduler", default="wave", choices=["wave", "pool"],
                    help="wavefront scheduler: bounded-depth waves or "
                         "persistent pool with on-device ray regeneration")
+    p.add_argument("--backend", default=None,
+                   choices=["packets", "worklist", "pairs", "hybrid",
+                            "kslots", "ctiles", "perray", "pallas"],
+                   help="traversal backend (default: measured best)")
     p.add_argument("--validate", action="store_true",
                    help="audit the final image for NaN/Inf/sentinel pixels")
     p.add_argument("--profile", default=None, metavar="DIR",
@@ -129,6 +133,7 @@ def main(argv=None) -> int:
                 checkpoint_every=args.checkpoint_every,
                 tile_devices=args.tile_devices or None,
                 scheduler=args.scheduler,
+                backend=args.backend,
             )
         except Exception as e:  # noqa: BLE001 — mirror whole-pipeline fallback
             log.error("Accelerated rendering failed: %s", e)
