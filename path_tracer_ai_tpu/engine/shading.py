@@ -118,9 +118,21 @@ def direct_lighting(
     )
     t_max = jnp.where(contributes, dist - RAY_EPS, -1.0)  # (renderer.hpp:275)
 
-    occluded = occlude_fn(
-        so.reshape(-1, 3), ldir.reshape(-1, 3), t_max.reshape(-1)
-    ).reshape(n_lights, n_lanes)
+    if getattr(occlude_fn, "lane_major", False):
+        # Lane-major layout: each lane's L same-origin shadow rays are
+        # CONSECUTIVE, so a backend that groups blocks of L rays culls the
+        # lane's shared-origin union once (the per-lane shadow reuse the
+        # light-major layout cannot express). Occlusion is exact, so the
+        # result is bit-identical to the light-major path.
+        occluded = occlude_fn(
+            jnp.swapaxes(so, 0, 1).reshape(-1, 3),
+            jnp.swapaxes(ldir, 0, 1).reshape(-1, 3),
+            jnp.swapaxes(t_max, 0, 1).reshape(-1),
+        ).reshape(n_lanes, n_lights).T
+    else:
+        occluded = occlude_fn(
+            so.reshape(-1, 3), ldir.reshape(-1, 3), t_max.reshape(-1)
+        ).reshape(n_lights, n_lanes)
 
     # BRDF per material type (renderer.hpp:283-291).
     brdf_diffuse = mats.albedo / PI                              # [N,3]

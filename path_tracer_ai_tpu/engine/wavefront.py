@@ -58,7 +58,9 @@ HYBRID_CLOSEST_KW = dict(cap=32, pair_budget=8)
 KSLOTS_CLOSEST_KW = dict(k_supers=6, k_clusters=12)
 KSLOTS_OCCLUDE_KW = dict(k_supers=6, k_clusters=8)
 CTILES_CLOSEST_KW = dict()
-CTILES_OCCLUDE_KW = dict()
+# lane_major: shadow waves arrive with each lane's 4 same-origin rays
+# consecutive; block=4 makes one block per lane (shared-origin union cull).
+CTILES_OCCLUDE_KW = dict(lane_major=True, block=4, sort=False)
 
 
 def clear_executable_caches():
@@ -140,10 +142,19 @@ def packet_backend(
                 accel, o, d, RAY_TMIN, t_max, **CTILES_CLOSEST_KW
             )
 
+        okw = dict(CTILES_OCCLUDE_KW)
+        lane_major = okw.pop("lane_major", True)
+
         def occlude(o, d, t_max):
             return ctiles.any_hit_ctiles(
-                accel, o, d, RAY_TMIN, t_max, **CTILES_OCCLUDE_KW
+                accel, o, d, RAY_TMIN, t_max, **okw
             )
+
+        # Shadow waves arrive lane-major: each lane's 4 same-origin rays
+        # form one block, so the union cull is per-lane shadow reuse
+        # (the light-major layout cannot express it). Requires the occlude
+        # block size == light count (4 per reference spec, scene.hpp:55-80).
+        occlude.lane_major = lane_major
 
         return closest, occlude
 
