@@ -23,20 +23,23 @@ This backend splits the difference so neither cost appears:
                set is the bitwise OR over its rays — the TRUE union of
                exact per-ray sets, immune to direction spread (the
                conservative interval test is not used at all).
-3. PAIRS     — (block, cluster) work items; each block's candidates are
-               peeled from the OR'd bitmask in ascending-id order.
-4. TRANSPOSE — items are reordered CLUSTER-major (argsort by cluster id)
-               and each cluster's item list padded to whole tiles of
-               T//B blocks. A tile's 128 rays all intersect ONE cluster,
-               so the sweep gathers each cluster's triangles once per
-               tile instead of once per item — triangle traffic drops
-               from O(items * S * 36B) (~18 GB/bounce-wave) to
-               O(tiles * S * 36B), and the sweep runs at the dense
-               [tiles, T, S] shape measured at ~25 Gtests/s on v5e.
-5. SWEEP     — chunked dense Möller–Trumbore, per-item-lane (t, tri).
-6. RESOLVE   — results unsorted back to item order (one inverse-
-               permutation scatter), then per-block min-reduction with
-               the oracle's (t, triangle-id) tie rule.
+3. PAIRS     — flat (block, cluster) pair domain: pair p = block p//cap,
+               k-th candidate p%cap, so ownership is computed, never
+               gathered (i_cap-sized index gathers cost ~25-45ms each on
+               v5e — they dominated the v1 pipeline).
+4. TRANSPOSE — ONE lax.sort by cluster id (payload = flat pair index);
+               each cluster's pair list padded to whole tiles of
+               `tile_blocks` blocks. A tile's 128 rays all intersect ONE
+               cluster, so the sweep gathers each cluster's triangles
+               once per tile instead of once per item — and runs at the
+               dense [tiles, T, S] shape measured at ~25 Gtests/s.
+5. SWEEP     — chunked dense Möller–Trumbore; slot->pair->block index
+               math is chunk-local inside the (dynamically bounded)
+               loop, so every stage scales with LIVE pairs.
+6. RESOLVE   — fused into the sweep: per-block (t, tri) via chunked row
+               scatter-min (59ms per 3.2M rows measured, vs 442ms for
+               the gather-based resolve it replaces), with the oracle's
+               (t, triangle-id) tie rule via a second MT-free pass.
 
 Blocks whose union exceeds `cap` (or whose items overflow the budget)
 complete exactly via the compacted pair-tile fallback, like the other
@@ -116,214 +119,191 @@ def _ray_masks(accel: ClusterAccel, o_blk, d_blk, tm_blk, t_min, row_chunk):
     return cand.reshape(-1, c)[:nb], n_cand.reshape(-1)[:nb]
 
 
-def _build_tiles(accel, cand, n_cand, cap, item_budget, tile_blocks):
-    """Union tables -> cluster-major padded item slots.
+def _build_pairs(accel, cand, n_cand, cap, tile_blocks, tile_chunk):
+    """Union tables -> cluster-major padded pair slots (flat pair domain).
 
-    Returns a dict of index arrays; all shapes static except the live
-    counts used as loop bounds.
+    Pair p lives at flat index block*cap + k (k-th candidate of its
+    block), so its owner is p // cap — COMPUTED, never gathered. One
+    lax.sort by cluster id (payload = flat pair index) produces the
+    cluster-major order; each cluster's pair list is padded to whole
+    tiles of `tile_blocks` entries. All per-slot index math happens
+    chunk-locally inside the sweep loop, so nothing here scales with the
+    static bound except the sort itself.
+
+    Returns a dict of index arrays; shapes static, live counts dynamic.
     """
     nb = cand.shape[0]
     c = accel.num_clusters
     tb = tile_blocks
-    i_cap = -(-(nb * item_budget) // tb) * tb
 
     over = n_cand > cap
     n_cand = jnp.where(over, 0, n_cand)
-    ibase = jnp.cumsum(n_cand) - n_cand
-    over_budget = ibase + n_cand > i_cap
-    over = over | over_budget
-    n_cand = jnp.where(over_budget, 0, n_cand)
-    ibase = jnp.cumsum(n_cand) - n_cand
-    n_items = jnp.sum(n_cand)
 
     # Per-block candidate ids, ascending (garbage past n_cand slots).
-    # Small caps (block=1 per-ray pairs): popcount-bitmask peeling — cap
-    # unrolled cheap passes over [nb, C/32] words. Large caps: lax.top_k
-    # (the peel's unrolled trace would dominate compile time).
-    if min(cap, c) <= 32:
+    # Small caps: popcount-bitmask peeling (cap cheap unrolled passes over
+    # [nb, C/32] words). Large caps: lax.top_k (the peel's unrolled trace
+    # would dominate compile time).
+    kx = min(cap, c)
+    if kx <= 32:
         from path_tracer_ai_tpu.accel.kslots import _pack_bits, _peel_k
 
         words = _pack_bits(cand & ~over[:, None])
-        order = jnp.minimum(_peel_k(words, min(cap, c), c), c - 1)
+        order = jnp.minimum(_peel_k(words, kx, c), c - 1)
     else:
         neg_big = jnp.int32(-(2**30))
         col = jnp.arange(c, dtype=jnp.int32)[None, :]
         neg = jnp.where(cand & ~over[:, None], -col, neg_big)
-        order = jnp.minimum(_extract_k(neg, min(cap, c), neg_big), c - 1)
+        order = jnp.minimum(_extract_k(neg, kx, neg_big), c - 1)
     if cap > c:
         order = jnp.pad(order, ((0, 0), (0, cap - c)), constant_values=c - 1)
 
-    # item j -> owning block (scatter-max + cummax, worklist trick)
-    mark = jnp.where(n_cand > 0, ibase, i_cap)
-    item_block = (
-        jnp.zeros((i_cap,), jnp.int32)
-        .at[mark].max(jnp.arange(nb, dtype=jnp.int32), mode="drop")
+    # Flat pair keys: cid for live pairs, sentinel c for dead slots.
+    livek = jnp.arange(cap, dtype=jnp.int32)[None, :] < n_cand[:, None]
+    key = jnp.where(livek, order, c).reshape(-1)              # [nb*cap]
+    n_pairs = nb * cap
+    key_sorted, perm = jax.lax.sort(
+        (key, jnp.arange(n_pairs, dtype=jnp.int32)), num_keys=1
     )
-    item_block = jax.lax.cummax(item_block)
-    j = jnp.arange(i_cap, dtype=jnp.int32)
-    k = j - ibase[item_block]
-    live = j < n_items
-    cid = order[item_block, jnp.minimum(k, cap - 1)]
-    cid = jnp.where(live, cid, c)                             # sentinel c
 
-    # Cluster-major order; sorted position -> padded tile slot.
-    perm = jnp.argsort(cid).astype(jnp.int32)                 # [i_cap]
-    cid_sorted = cid[perm]
     base = jnp.searchsorted(
-        cid_sorted, jnp.arange(c + 1, dtype=jnp.int32)
+        key_sorted, jnp.arange(c + 1, dtype=jnp.int32)
     ).astype(jnp.int32)                                       # [c+1]
     counts = base[1:] - base[:-1]                             # [c]
     pcounts = (-(-counts // tb)) * tb
     pbase = jnp.cumsum(pcounts) - pcounts                     # [c]
     n_slots = jnp.sum(pcounts)
 
-    ni_pad = i_cap + tb * c                   # static bound, tb-divisible
-    mark2 = jnp.where(pcounts > 0, pbase, ni_pad)
+    # Static bound; rounded so the tile count divides tile_chunk exactly
+    # (the sweep's dynamic_slice must never clamp: chunk-local p_idx math
+    # would desynchronize from a clamped slice).
+    step = tb * tile_chunk
+    ni_pad = -(-(n_pairs + tb * c) // step) * step
+    mark = jnp.where(pcounts > 0, pbase, ni_pad)
     slot_cid = (
         jnp.zeros((ni_pad,), jnp.int32)
-        .at[mark2].max(jnp.arange(c, dtype=jnp.int32), mode="drop")
+        .at[mark].max(jnp.arange(c, dtype=jnp.int32), mode="drop")
     )
     slot_cid = jax.lax.cummax(slot_cid)                       # [ni_pad]
 
-    p = jnp.arange(ni_pad, dtype=jnp.int32)
-    rank = p - pbase[slot_cid]
-    slot_live = (rank < counts[slot_cid]) & (p < n_slots)
-    q = jnp.minimum(base[slot_cid] + rank, i_cap - 1)
-    slot_item = jnp.where(slot_live, perm[q], 0)              # [ni_pad]
-
-    # item j -> its padded slot (for the unsort after the sweep)
-    inv_perm = (
-        jnp.zeros((i_cap,), jnp.int32).at[perm].set(j)
-    )
-    item_slot = pbase[jnp.minimum(cid, c - 1)] + (inv_perm - base[
-        jnp.minimum(cid, c - 1)])
-    item_slot = jnp.where(live, item_slot, 0)
-
     return dict(
-        order=order, n_cand=n_cand, ibase=ibase, overflow=over,
-        item_block=item_block, slot_cid=slot_cid, slot_item=slot_item,
-        slot_live=slot_live, item_slot=item_slot, n_slots=n_slots,
-        i_cap=i_cap, ni_pad=ni_pad,
+        overflow=over, perm=perm, base=base, counts=counts, pbase=pbase,
+        slot_cid=slot_cid, n_slots=n_slots,
     )
 
 
-def _sweep_tiles(
-    accel, tiles, o_blk, d_blk, tm_blk, t_min,
-    tile_blocks, tile_chunk, want_tri,
+def _sweep_resolve(
+    accel, pairs, o_blk, d_blk, tm_blk, t_min,
+    cap, tile_blocks, tile_chunk, want_tri,
 ):
-    """Dense [chunk, T, S] sweeps; one gathered cluster per TILE."""
-    b = o_blk.shape[1]
+    """Fused sweep + resolve: dense [chunk, T, S] MT over cluster-major
+    tiles, per-block reduction via chunked row scatter-min.
+
+    Per chunk: slot -> sorted position -> flat pair -> owning block, all
+    via small chunk-local gathers; every cost here scales with the LIVE
+    pair count (the fori_loop bound is dynamic), not the static pair cap.
+    The (t, triangle-id) tie rule needs the final per-block t before tri
+    ids can be masked, so a second (cheap, MT-free) pass re-reads the
+    stored per-slot results and scatter-mins the masked ids.
+    """
+    nb, b = o_blk.shape[:2]
     tb = tile_blocks
     t_lanes = tb * b
-    ni_pad = tiles["ni_pad"]
+    ni_pad = pairs["slot_cid"].shape[0]
     nt = ni_pad // tb
     tc = tile_chunk
-    n_chunks = -(-(-(-tiles["n_slots"] // tb)) // tc)         # dynamic
+    n_tiles = -(-pairs["n_slots"] // tb)
+    n_chunks = -(-n_tiles // tc)                              # dynamic
 
-    tile_cid = tiles["slot_cid"].reshape(nt, tb)[:, 0]
-    blk_of_slot = tiles["item_block"][tiles["slot_item"]]
-    slot_live = tiles["slot_live"]
+    slot_cid = pairs["slot_cid"]
+    perm = pairs["perm"]
+    base, counts, pbase = pairs["base"], pairs["counts"], pairs["pbase"]
+    n_pairs = perm.shape[0]
 
-    t_pad0 = jnp.full((nt, t_lanes), jnp.inf, jnp.float32)
-    tri_pad0 = jnp.full((nt, t_lanes), I32_MAX, jnp.int32)
-    occ_pad0 = jnp.zeros((nt, t_lanes), bool)
+    def chunk_indices(start):
+        """Chunk-local slot -> (cid [tc*tb], blk [tc*tb], live [tc*tb])."""
+        sc = jax.lax.dynamic_slice(slot_cid, (start * tb,), (tc * tb,))
+        p_idx = start * tb + jnp.arange(tc * tb, dtype=jnp.int32)
+        rank = p_idx - pbase[sc]
+        live = (rank < counts[sc]) & (p_idx < pairs["n_slots"])
+        q = jnp.clip(base[sc] + rank, 0, n_pairs - 1)
+        pair = perm[q]
+        blk = pair // cap
+        return sc, jnp.where(live, blk, nb), live
 
-    def body(i, carry):
-        start = i * tc
-        cid_c = jax.lax.dynamic_slice(tile_cid, (start,), (tc,))
-        blk_c = jax.lax.dynamic_slice(
-            blk_of_slot, (start * tb,), (tc * tb,)
-        )
-        live_c = jax.lax.dynamic_slice(
-            slot_live, (start * tb,), (tc * tb,)
-        )
-        ob = o_blk[blk_c].reshape(tc, t_lanes, 3)
-        db = d_blk[blk_c].reshape(tc, t_lanes, 3)
+    def mt_chunk(start):
+        sc, blk, live = chunk_indices(start)
+        blkc = jnp.minimum(blk, nb - 1)
+        ob = o_blk[blkc].reshape(tc, t_lanes, 3)
+        db = d_blk[blkc].reshape(tc, t_lanes, 3)
         tm = jnp.where(
-            live_c[:, None], tm_blk[blk_c], -1.0
+            live[:, None], tm_blk[blkc], -1.0
         ).reshape(tc, t_lanes)
+        cid_c = sc.reshape(tc, tb)[:, 0]
         cv0 = accel.v0[cid_c]                                 # [tc, S, 3]
         ce1 = accel.e1[cid_c]
         ce2 = accel.e2[cid_c]
         tt, ok = _mt_sweep(ob, db, cv0, ce1, ce2, t_min, tm)  # [tc, T, S]
         tt = jnp.where(ok, tt, jnp.inf)
-        if want_tri:
-            t_pad, tri_pad = carry
-            ct = jnp.min(tt, axis=-1)                         # [tc, T]
-            cti = accel.tri_id[cid_c][:, None, :]             # [tc, 1, S]
-            tri_min = jnp.min(
-                jnp.where((tt <= ct[..., None]) & ok, cti, I32_MAX), axis=-1
-            )
-            t_pad = jax.lax.dynamic_update_slice(t_pad, ct, (start, 0))
-            tri_pad = jax.lax.dynamic_update_slice(
-                tri_pad, tri_min, (start, 0)
-            )
-            return t_pad, tri_pad
-        (occ_pad,) = carry
-        occ_pad = jax.lax.dynamic_update_slice(
-            occ_pad, jnp.any(ok, axis=-1), (start, 0)
+        return sc, blk, tt, ok, cid_c
+
+    if not want_tri:
+        occ0 = jnp.zeros((nb, b), jnp.int32)
+
+        def body(i, occ_blk):
+            _, blk, tt, ok, _ = mt_chunk(i * tc)
+            occ_c = jnp.any(ok, axis=-1).reshape(tc * tb, b)
+            return occ_blk.at[blk].max(occ_c.astype(jnp.int32),
+                                       mode="drop")
+
+        occ_blk = jax.lax.fori_loop(0, n_chunks, body, occ0)
+        return (occ_blk > 0,)
+
+    # Pass 1: per-slot (t, tri) stored; per-block t scatter-min'd.
+    t_pad0 = jnp.full((nt, t_lanes), jnp.inf, jnp.float32)
+    tri_pad0 = jnp.full((nt, t_lanes), I32_MAX, jnp.int32)
+    t_blk0 = jnp.full((nb, b), jnp.inf, jnp.float32)
+
+    def body1(i, carry):
+        t_pad, tri_pad, t_blk = carry
+        start = i * tc
+        _, blk, tt, ok, cid_c = mt_chunk(start)
+        ct = jnp.min(tt, axis=-1)                             # [tc, T]
+        cti = accel.tri_id[cid_c][:, None, :]                 # [tc, 1, S]
+        tri_min = jnp.min(
+            jnp.where((tt <= ct[..., None]) & ok, cti, I32_MAX), axis=-1
         )
-        return (occ_pad,)
+        t_blk = t_blk.at[blk].min(ct.reshape(tc * tb, b), mode="drop")
+        t_pad = jax.lax.dynamic_update_slice(t_pad, ct, (start, 0))
+        tri_pad = jax.lax.dynamic_update_slice(tri_pad, tri_min, (start, 0))
+        return t_pad, tri_pad, t_blk
 
-    init = (t_pad0, tri_pad0) if want_tri else (occ_pad0,)
-    out = jax.lax.fori_loop(0, n_chunks, body, init)
-    # [nt, T] -> per item slot rows [ni_pad, b]
-    return tuple(a.reshape(ni_pad, b) for a in out)
+    t_pad, tri_pad, t_blk = jax.lax.fori_loop(
+        0, n_chunks, body1, (t_pad0, tri_pad0, t_blk0)
+    )
 
+    # Pass 2 (MT-free): min tri id among slots achieving the block best.
+    tri_blk0 = jnp.full((nb, b), I32_MAX, jnp.int32)
 
-def _resolve_blocks(tiles, per_item, cap, nb, b, row_chunk, want_tri):
-    """Per-block min over its item rows (gathered via ibase + slot map)."""
-    i_cap = tiles["i_cap"]
-    # item-order results: item j's row lives at padded slot item_slot[j]
-    item_slot = tiles["item_slot"]
+    def body2(i, tri_blk):
+        start = i * tc
+        _, blk, _ = chunk_indices(start)
+        ct = jax.lax.dynamic_slice(t_pad, (start, 0), (tc, t_lanes))
+        ctri = jax.lax.dynamic_slice(tri_pad, (start, 0), (tc, t_lanes))
+        ct = ct.reshape(tc * tb, b)
+        ctri = ctri.reshape(tc * tb, b)
+        tb_best = t_blk[jnp.minimum(blk, nb - 1)]             # [tc*tb, b]
+        keep = ct <= tb_best
+        return tri_blk.at[blk].min(
+            jnp.where(keep, ctri, I32_MAX), mode="drop"
+        )
 
-    rows = tiles["ibase"][:, None] + jnp.arange(cap, dtype=jnp.int32)[None]
-    row_live = jnp.arange(cap, dtype=jnp.int32)[None, :] < \
-        tiles["n_cand"][:, None]
-    rowsc = jnp.minimum(rows, i_cap - 1)                      # [nb, cap]
-    slot_rows = item_slot[rowsc]                              # [nb, cap]
-
-    pad_rows = (-nb) % row_chunk
-    if pad_rows:
-        slot_rows = jnp.pad(slot_rows, ((0, pad_rows), (0, 0)))
-        row_live = jnp.pad(row_live, ((0, pad_rows), (0, 0)))
-    nch = slot_rows.shape[0] // row_chunk
-
-    if want_tri:
-        t_items, tri_items = per_item
-
-        def one(args):
-            sr, rl = args
-            tk = jnp.where(rl[..., None], t_items[sr], jnp.inf)
-            best_t = jnp.min(tk, axis=1)                      # [rc, B]
-            trik = jnp.where(
-                rl[..., None] & (tk <= best_t[:, None, :]),
-                tri_items[sr], I32_MAX,
-            )
-            return best_t, jnp.min(trik, axis=1)
-
-        bt, btri = jax.lax.map(one, (
-            slot_rows.reshape(nch, row_chunk, cap),
-            row_live.reshape(nch, row_chunk, cap),
-        ))
-        return bt.reshape(-1, b)[:nb], btri.reshape(-1, b)[:nb]
-
-    (occ_items,) = per_item
-
-    def one(args):
-        sr, rl = args
-        return (jnp.any(rl[..., None] & occ_items[sr], axis=1),)
-
-    (occ,) = jax.lax.map(one, (
-        slot_rows.reshape(nch, row_chunk, cap),
-        row_live.reshape(nch, row_chunk, cap),
-    ))
-    return (occ.reshape(-1, b)[:nb],)
+    tri_blk = jax.lax.fori_loop(0, n_chunks, body2, tri_blk0)
+    return t_blk, tri_blk
 
 
 def _run(
     accel, origins, directions, t_min, t_max, *,
-    block, cap, item_budget, tile_blocks, row_chunk, tile_chunk,
+    block, cap, tile_blocks, row_chunk, tile_chunk,
     sort, sort_mode, fallback_block, fallback_compact, want_tri,
 ):
     n = origins.shape[0]
@@ -335,17 +315,14 @@ def _run(
     cand, n_cand = _ray_masks(
         accel, o_blk, d_blk, tm_blk, t_min, row_chunk
     )
-    tiles = _build_tiles(accel, cand, n_cand, cap, item_budget, tile_blocks)
-    per_item = _sweep_tiles(
-        accel, tiles, o_blk, d_blk, tm_blk, t_min,
-        tile_blocks, tile_chunk, want_tri,
-    )
-    blk_res = _resolve_blocks(
-        tiles, per_item, cap, nb, block, row_chunk, want_tri
+    pairs = _build_pairs(accel, cand, n_cand, cap, tile_blocks, tile_chunk)
+    blk_res = _sweep_resolve(
+        accel, pairs, o_blk, d_blk, tm_blk, t_min,
+        cap, tile_blocks, tile_chunk, want_tri,
     )
     res_u = _unsort(tuple(a.reshape(-1) for a in blk_res), perm, npad, n)
 
-    over_blk = tiles["overflow"][:, None] & jnp.ones((nb, block), bool)
+    over_blk = pairs["overflow"][:, None] & jnp.ones((nb, block), bool)
     (overflow_ray,) = _unsort((over_blk.reshape(-1),), perm, npad, n)
     fb = _overflow_fallback(
         accel, origins, directions, t_min, t_max, overflow_ray,
@@ -361,7 +338,7 @@ def _run(
     jax.jit,
     inline=True,
     static_argnames=(
-        "block", "cap", "item_budget", "tile_blocks", "row_chunk",
+        "block", "cap", "tile_blocks", "row_chunk",
         "tile_chunk", "sort", "sort_mode", "fallback_block",
         "fallback_compact",
     ),
@@ -373,8 +350,7 @@ def closest_hit_ctiles(
     t_min,
     t_max,
     block: int = 8,
-    cap: int = 96,
-    item_budget: int = 24,
+    cap: int = 48,
     tile_blocks: int = 16,
     row_chunk: int = 1 << 11,
     tile_chunk: int = 256,
@@ -386,7 +362,7 @@ def closest_hit_ctiles(
     """Closest hit via cluster-major tiles; exact for every ray."""
     best_t, best_tri = _run(
         accel, origins, directions, t_min, t_max,
-        block=block, cap=cap, item_budget=item_budget,
+        block=block, cap=cap,
         tile_blocks=tile_blocks, row_chunk=row_chunk, tile_chunk=tile_chunk,
         sort=sort, sort_mode=sort_mode, fallback_block=fallback_block,
         fallback_compact=fallback_compact, want_tri=True,
@@ -399,7 +375,7 @@ def closest_hit_ctiles(
     jax.jit,
     inline=True,
     static_argnames=(
-        "block", "cap", "item_budget", "tile_blocks", "row_chunk",
+        "block", "cap", "tile_blocks", "row_chunk",
         "tile_chunk", "sort", "sort_mode", "fallback_block",
         "fallback_compact",
     ),
@@ -411,8 +387,7 @@ def any_hit_ctiles(
     t_min,
     t_max,
     block: int = 8,
-    cap: int = 96,
-    item_budget: int = 24,
+    cap: int = 48,
     tile_blocks: int = 16,
     row_chunk: int = 1 << 11,
     tile_chunk: int = 256,
@@ -424,7 +399,7 @@ def any_hit_ctiles(
     """Occlusion query via cluster-major tiles; exact for every ray."""
     (occ,) = _run(
         accel, origins, directions, t_min, t_max,
-        block=block, cap=cap, item_budget=item_budget,
+        block=block, cap=cap,
         tile_blocks=tile_blocks, row_chunk=row_chunk, tile_chunk=tile_chunk,
         sort=sort, sort_mode=sort_mode, fallback_block=fallback_block,
         fallback_compact=fallback_compact, want_tri=False,

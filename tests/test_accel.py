@@ -446,8 +446,7 @@ class TestCtilesTraversal:
         tris = random_soup(rng, 500)
         accel = build_clusters(tris, cluster_size=16)
         o, d = random_rays(rng, 192)
-        self._check(tris, accel, o, d, block=1, cap=24, tile_blocks=64,
-                    item_budget=40)
+        self._check(tris, accel, o, d, block=1, cap=24, tile_blocks=64)
 
     def test_cap_overflow_fallback(self, rng):
         tris = random_soup(rng, 800, spread=2.0)
@@ -459,7 +458,7 @@ class TestCtilesTraversal:
         tris = random_soup(rng, 600, spread=2.0)
         accel = build_clusters(tris, cluster_size=8, super_size=4)
         o, d = random_rays(rng, 128, spread=3.0)
-        self._check(tris, accel, o, d, item_budget=2)
+        self._check(tris, accel, o, d, cap=8)
 
     def test_per_ray_tmax_and_dead_lanes(self, rng):
         tris = random_soup(rng, 400)
