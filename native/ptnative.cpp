@@ -283,4 +283,67 @@ void pt_obj_read(void* handle, float* vertices, float* normals,
 
 void pt_obj_free(void* handle) { delete (ObjHandle*)handle; }
 
+// ---------------------------------------------------------------------------
+// Median-split cluster ordering (the production accel build,
+// clusters._median_split_order; reference role: BVH::buildRecursive's
+// nth_element median split, bvh.hpp:44-72).
+//
+// Input:  centers [t][3] float32 triangle centroids, cluster size s
+// Output: order[t] — triangles of each split-emitted leaf contiguous.
+// Contract vs the Python fallback: identical split STRUCTURE (same sizes,
+// same pivot rule: half = clamp(round_up(n/2, s), s, n-1)); the two sides
+// of every split are equal as sets except when centroid values tie exactly
+// at the pivot (both partitions are then valid median splits). Traversal is
+// exact under any valid order, so images are unaffected.
+// Returns 0 on success.
+// ---------------------------------------------------------------------------
+
+int pt_split_order(const float* centers, int64_t t, int64_t cluster_size,
+                   int32_t* order_out) {
+  if (t <= 0 || cluster_size <= 0) return 1;
+  const int64_t s = cluster_size;
+  std::vector<int32_t> idx(t);
+  std::iota(idx.begin(), idx.end(), 0);
+  // Stack of [begin, end) ranges over idx; process left halves first so
+  // leaves are emitted left-to-right (matches the Python stack order).
+  std::vector<std::pair<int64_t, int64_t>> stack;
+  stack.emplace_back(0, t);
+  int64_t out_pos = 0;
+  while (!stack.empty()) {
+    auto [b, e] = stack.back();
+    stack.pop_back();
+    const int64_t n = e - b;
+    if (n <= s) {
+      std::memcpy(order_out + out_pos, idx.data() + b, n * sizeof(int32_t));
+      out_pos += n;
+      continue;
+    }
+    float mn[3] = {1e30f, 1e30f, 1e30f};
+    float mx[3] = {-1e30f, -1e30f, -1e30f};
+    for (int64_t i = b; i < e; ++i) {
+      const float* c = centers + (int64_t)idx[i] * 3;
+      for (int a = 0; a < 3; ++a) {
+        mn[a] = std::min(mn[a], c[a]);
+        mx[a] = std::max(mx[a], c[a]);
+      }
+    }
+    int axis = 0;
+    float best = mx[0] - mn[0];
+    for (int a = 1; a < 3; ++a) {
+      if (mx[a] - mn[a] > best) { best = mx[a] - mn[a]; axis = a; }
+    }
+    int64_t half = ((n / 2 + s - 1) / s) * s;
+    half = std::min(std::max(half, s), n - 1);
+    std::nth_element(
+        idx.begin() + b, idx.begin() + b + half - 1, idx.begin() + e,
+        [&](int32_t x, int32_t y) {
+          return centers[(int64_t)x * 3 + axis] <
+                 centers[(int64_t)y * 3 + axis];
+        });
+    stack.emplace_back(b + half, e);  // right pushed first,
+    stack.emplace_back(b, b + half);  // left processed (emitted) first
+  }
+  return out_pos == t ? 0 : 2;
+}
+
 }  // extern "C"

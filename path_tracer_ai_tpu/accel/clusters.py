@@ -125,7 +125,14 @@ def build_clusters(
     order = None
     if method == "split":
         centers = (v0 + v1 + v2) / 3.0
-        order = _median_split_order(centers, cluster_size)
+        try:  # native C++ builder (same split structure), Python fallback
+            from path_tracer_ai_tpu.accel.native import native_split_order
+
+            order = native_split_order(centers, cluster_size)
+        except Exception:  # noqa: BLE001
+            order = None
+        if order is None:
+            order = _median_split_order(centers, cluster_size)
     else:
         try:  # native C++ builder (same ordering contract), Python fallback
             from path_tracer_ai_tpu.accel.native import native_morton_order

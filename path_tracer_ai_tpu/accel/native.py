@@ -58,6 +58,11 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.pt_split_order.restype = ctypes.c_int
+    lib.pt_split_order.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     lib.pt_obj_parse.restype = ctypes.c_int
     lib.pt_obj_parse.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_void_p)]
     lib.pt_obj_counts.restype = None
@@ -92,6 +97,29 @@ def native_morton_order(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray):
     rc = lib.pt_morton_order(
         inter.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.c_int64(t),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        return None
+    return order
+
+
+def native_split_order(centers: np.ndarray, cluster_size: int):
+    """Median-split cluster order via C++; None if unavailable.
+
+    Same split structure as clusters._median_split_order (the two sides of
+    every split are identical sets except on exact centroid ties at the
+    pivot — see ptnative.cpp pt_split_order).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    c = np.ascontiguousarray(centers, np.float32)
+    t = c.shape[0]
+    order = np.empty(t, np.int32)
+    rc = lib.pt_split_order(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(t), ctypes.c_int64(cluster_size),
         order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     if rc != 0:

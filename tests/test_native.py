@@ -61,6 +61,22 @@ def test_morton_order_identical_to_python(rng):
 
 
 @needs_native
+def test_split_order_same_partition_as_python(rng):
+    """Native median split yields the same cluster PARTITION (as sets) as
+    the Python builder on tie-free centroids; see pt_split_order contract."""
+    from path_tracer_ai_tpu.accel.clusters import _median_split_order
+
+    centers = rng.standard_normal((700, 3)).astype(np.float32)
+    s = 32
+    no = native.native_split_order(centers, s)
+    po = _median_split_order(centers, s)
+    assert sorted(no.tolist()) == list(range(700))
+    for k in range(-(-700 // s)):
+        assert set(no[k * s:(k + 1) * s].tolist()) == \
+            set(po[k * s:(k + 1) * s].tolist()), f"cluster {k}"
+
+
+@needs_native
 def test_missing_file_raises(tmp_path):
     with pytest.raises(OSError):
         load_obj(str(tmp_path / "nope.obj"), prefer_native=True)
