@@ -54,10 +54,10 @@ log = get_logger(__name__)
 # origin-major (28k vs 143k rays past cap=96) and tables to 39ms/2^20.
 WORKLIST_CLOSEST_KW = dict(cap=96, item_budget=8)
 WORKLIST_OCCLUDE_KW = dict(sort=False)
-HYBRID_CLOSEST_KW = dict(cap=32, pair_budget=8)
+HYBRID_OCCLUDE_KW = dict(sort=False, fallback_compact=1 << 19)
 KSLOTS_CLOSEST_KW = dict(k_supers=6, k_clusters=12)
 KSLOTS_OCCLUDE_KW = dict(k_supers=6, k_clusters=8)
-CTILES_CLOSEST_KW = dict()
+CTILES_CLOSEST_KW = dict(cap=48, tile_chunk=2048)
 # lane_major: shadow waves arrive with each lane's 4 same-origin rays
 # consecutive; block=4 makes one block per lane (shared-origin union cull).
 CTILES_OCCLUDE_KW = dict(lane_major=True, block=4, sort=False)
@@ -106,7 +106,7 @@ def packet_backend(
         elif block_size == 1:
             backend = "perray"
         else:
-            backend = default_backend()
+            backend = default_backend(accel)
 
     if backend == "pairs":
         from path_tracer_ai_tpu.accel import pairs
@@ -159,21 +159,25 @@ def packet_backend(
         return closest, occlude
 
     if backend == "hybrid":
-        # Measured shape of the workload (docs/ARCHITECTURE.md round 2):
-        # bounce closest waves have heavy-tailed block unions (8-block mean
-        # 75 candidates vs ~4-6 per-ray exact), so per-ray pair scheduling
-        # wins there; shadow waves are light-major coherent, so the
-        # block-major worklist (unsorted) wins there.
-        from path_tracer_ai_tpu.accel import pairs, worklist
+        # Per-wave-type winners (v5e probes, round 2): closest waves via
+        # ctiles (per-ray-exact OR-union culling: bounce 2.3 vs worklist
+        # 2.0 Mrays/s, primary 4.9 vs 3.6); shadow waves are light-major
+        # coherent — consecutive lanes share a light and neighbor pixels —
+        # so the worklist's conservative block cull is tight there and its
+        # unsorted path wins (6.3 Mrays/s synthetic). fallback_compact
+        # must cover the in-render shadow overflow population (~4.7% of a
+        # 4x-wave; the 2^17 default forced whole-wave fallbacks — the
+        # round-2 worklist e2e regression).
+        from path_tracer_ai_tpu.accel import ctiles, worklist
 
         def closest(o, d, t_min, t_max):
-            return pairs.closest_hit_pairs(
-                accel, o, d, RAY_TMIN, t_max, **HYBRID_CLOSEST_KW
+            return ctiles.closest_hit_ctiles(
+                accel, o, d, RAY_TMIN, t_max, **CTILES_CLOSEST_KW
             )
 
         def occlude(o, d, t_max):
             return worklist.any_hit_worklist(
-                accel, o, d, RAY_TMIN, t_max, **WORKLIST_OCCLUDE_KW
+                accel, o, d, RAY_TMIN, t_max, **HYBRID_OCCLUDE_KW
             )
 
         return closest, occlude
@@ -288,16 +292,20 @@ def packet_backend(
     return closest, occlude
 
 
-def default_backend() -> str:
+def default_backend(accel: Optional[ClusterAccel] = None) -> str:
     """Production traversal backend, chosen by full-render measurement.
 
-    v5e, 82k-tri scene, 1080p@2spp/5b (scripts/perf_probe_r2.py, round 2):
-    packets 1.83 Mrays/s vs worklist 0.85. The pair/worklist backends do
-    exact per-ray candidate work, but their flat-table costs (extraction,
-    resolve gathers, small-block sweep shapes) currently outweigh the
-    block-union waste they remove; they stay available as opt-ins while
-    that gap is closed. See docs/ARCHITECTURE.md for the decomposition.
+    Scale routing: ctiles' per-ray-exact cull materializes [rays, C]
+    masks in chunks, which stops paying past a few thousand clusters;
+    big scenes route to the 2-level worklist (supercluster descent).
+
+    v5e, 82k-tri scene, 1080p@2spp/5b (probes round 2): packets 1.83
+    Mrays/s vs worklist 0.85 vs ctiles v1 0.55; ctiles v2 (flat pair
+    domain + scatter resolve) decides the small-scene default. See
+    docs/ARCHITECTURE.md for the decomposition.
     """
+    if accel is not None and accel.num_clusters > 2048:
+        return "worklist"
     return "packets"
 
 

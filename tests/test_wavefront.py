@@ -62,6 +62,17 @@ def test_backend_equivalence(room_scene):
                                       err_msg=backend)
 
 
+def test_default_backend_scale_routing():
+    """Big scenes (clusters > 2048) route to the 2-level worklist; ctiles'
+    flat per-ray cull only pays at bench-class cluster counts."""
+    import types
+
+    small = types.SimpleNamespace(num_clusters=641)
+    big = types.SimpleNamespace(num_clusters=10241)
+    assert wavefront.default_backend(None) == wavefront.default_backend(small)
+    assert wavefront.default_backend(big) == "worklist"
+
+
 def test_stats_count_rays(room_scene):
     st = wavefront.RenderStats()
     wavefront.render(room_scene, default_camera(), SETTINGS,
