@@ -54,7 +54,7 @@ log = get_logger(__name__)
 # origin-major (28k vs 143k rays past cap=96) and tables to 39ms/2^20.
 WORKLIST_CLOSEST_KW = dict(cap=96, item_budget=8)
 WORKLIST_OCCLUDE_KW = dict(sort=False)
-HYBRID_OCCLUDE_KW = dict(sort=False, fallback_compact=1 << 19)
+HYBRID_OCCLUDE_KW = dict(engine="packets")
 KSLOTS_CLOSEST_KW = dict(k_supers=6, k_clusters=12)
 KSLOTS_OCCLUDE_KW = dict(k_supers=6, k_clusters=8)
 CTILES_CLOSEST_KW = dict(cap=48, tile_chunk=2048)
@@ -68,6 +68,9 @@ def clear_executable_caches():
     above, which are read at trace time and are NOT part of any jit key)."""
     _wave_exe.cache_clear()
     _pool_exe.cache_clear()
+    _bounce_exe.cache_clear()
+    _wave_gen_exe.cache_clear()
+    _wave_accum_exe.cache_clear()
     jax.clear_caches()
 
 
@@ -175,10 +178,23 @@ def packet_backend(
                 accel, o, d, RAY_TMIN, t_max, **CTILES_CLOSEST_KW
             )
 
-        def occlude(o, d, t_max):
-            return worklist.any_hit_worklist(
-                accel, o, d, RAY_TMIN, t_max, **HYBRID_OCCLUDE_KW
-            )
+        if HYBRID_OCCLUDE_KW.get("engine") == "packets":
+            # In-render shadow waves overflow the worklist's conservative
+            # cap on ~5% of rays, and its compact fallback costs its STATIC
+            # size every wave (the e2e cliff measured in round 2). The
+            # packet cascade has no such cliff.
+            def occlude(o, d, t_max):
+                return traverse.any_hit_packets(
+                    accel, o, d, RAY_TMIN, t_max, block_size=block_size
+                )
+        else:
+            okw = {k: v for k, v in HYBRID_OCCLUDE_KW.items()
+                   if k != "engine"}
+
+            def occlude(o, d, t_max):
+                return worklist.any_hit_worklist(
+                    accel, o, d, RAY_TMIN, t_max, **okw
+                )
 
         return closest, occlude
 
@@ -299,14 +315,14 @@ def default_backend(accel: Optional[ClusterAccel] = None) -> str:
     masks in chunks, which stops paying past a few thousand clusters;
     big scenes route to the 2-level worklist (supercluster descent).
 
-    v5e, 82k-tri scene, 1080p@2spp/5b (probes round 2): packets 1.83
-    Mrays/s vs worklist 0.85 vs ctiles v1 0.55; ctiles v2 (flat pair
-    domain + scatter resolve) decides the small-scene default. See
-    docs/ARCHITECTURE.md for the decomposition.
+    v5e, 82k-tri scene, 1080p@2spp/5b (probes round 2): hybrid (ctiles v2
+    closest + packet-cascade shadow) 2.21 Mrays/s vs packets 1.74 vs
+    worklist 0.67 (its shadow fallback cliff) vs ctiles-everywhere 1.08.
+    See docs/ARCHITECTURE.md for the decomposition.
     """
     if accel is not None and accel.num_clusters > 2048:
         return "worklist"
-    return "packets"
+    return "hybrid"
 
 
 def default_use_pallas() -> bool:
@@ -337,27 +353,78 @@ def _wave_exe(**statics):
     return jax.jit(functools.partial(_render_wave_impl, **statics))
 
 
+@functools.lru_cache(maxsize=None)
+def _bounce_exe(block_size, use_pallas, backend):
+    """One bounce-step executable per traversal config (see _wave_exe).
+
+    The bounce loop runs at HOST level (render drives one jit call per
+    bounce): measured on v5e round 2, nesting the traversal pipelines'
+    chunk loops inside an XLA while bounce loop cost ~3x wall-clock vs
+    the same pipelines as top-level programs, while a dispatch is ~2.7ms
+    — irrelevant against 100ms+ waves. Host stepping also reuses ONE
+    executable across bounces, waves, and sample passes (depth is a
+    traced scalar), and gives per-bounce timing for free.
+    """
+
+    def one_bounce(scene, accel, o, d, beta, radiance, alive, keys, depth):
+        closest, occlude = packet_backend(
+            accel, block_size, use_pallas=use_pallas, backend=backend
+        )
+        return tracer.bounce_step(
+            scene, closest, occlude, o, d, beta, radiance, alive, keys,
+            depth,
+        )
+
+    return jax.jit(one_bounce)
+
+
 def _render_wave(
     scene, accel, camera, base_key, xs, ys, s0, spp, **statics
 ):
-    return _wave_exe(**statics)(
-        scene, accel, camera, base_key, xs, ys, s0, spp
+    max_bounces = statics["max_bounces"]
+    block_size = statics["block_size"]
+    use_pallas = statics.get("use_pallas", False)
+    backend = statics.get("backend", None)
+
+    gen_statics = {
+        k: v for k, v in statics.items()
+        if k in ("w", "h", "sc", "pix_chunk", "lanes_padded", "aspect")
+    }
+    o, d, keys, lane_s = _wave_gen_exe(**gen_statics)(
+        camera, base_key, xs, ys, s0
     )
 
+    n = o.shape[0]
+    beta = jnp.ones((n, 3), jnp.float32)
+    radiance = jnp.zeros((n, 3), jnp.float32)
+    alive = jnp.ones((n,), bool)
+    bounce = _bounce_exe(block_size, use_pallas, backend)
+    ncs, nss = [], []
+    for depth in range(max_bounces):
+        o, d, beta, radiance, alive, nc_i, ns_i = bounce(
+            scene, accel, o, d, beta, radiance, alive, keys,
+            jnp.int32(depth),
+        )
+        ncs.append(nc_i)
+        nss.append(ns_i)
 
-def _render_wave_impl(
-    scene, accel, camera, base_key, xs, ys, s0, spp,
-    *, w, h, sc, pix_chunk, lanes_padded, block_size, max_bounces, aspect,
-    use_pallas=False, backend=None,
+    acc, cnt = _wave_accum_exe(**gen_statics)(radiance, lane_s, spp)
+    # Summing the tiny per-bounce counters is free once acc is realized.
+    nc = sum(int(x) for x in jax.device_get(ncs))
+    ns = sum(int(x) for x in jax.device_get(nss))
+    return acc, cnt, jnp.int32(nc), jnp.int32(ns)
+
+
+@functools.lru_cache(maxsize=None)
+def _wave_gen_exe(**statics):
+    return jax.jit(functools.partial(_wave_gen_impl, **statics))
+
+
+def _wave_gen_impl(
+    camera, base_key, xs, ys, s0,
+    *, w, h, sc, pix_chunk, lanes_padded, aspect,
 ):
-    """One wave: `pix_chunk` pixels x `sc` consecutive samples.
-
-    Jitted via _wave_exe with static shape params so the compiled executable
-    is cached ACROSS render() calls (scene/camera/key are traced operands).
-    """
-    closest, occlude = packet_backend(
-        accel, block_size, use_pallas=use_pallas, backend=backend
-    )
+    """Camera rays + per-lane RNG streams for one wave."""
     n_lanes = pix_chunk * sc
 
     pix_idx = (ys * w + xs).astype(jnp.int32)              # [P]
@@ -379,16 +446,55 @@ def _render_wave_impl(
     u = (lane_x.astype(jnp.float32) + jitter[:, 0]) / (w - 1)
     v = (lane_y.astype(jnp.float32) + jitter[:, 1]) / (h - 1)
     o, d = get_rays(camera, u, v, aspect)
+    return o, d, keys, lane_s
 
-    radiance, valid, (nc, ns) = tracer.trace_paths(
-        scene, o, d, keys, max_bounces, closest, occlude
-    )
-    if pad:
-        radiance = radiance[:n_lanes]
-        valid = valid[:n_lanes]
+
+@functools.lru_cache(maxsize=None)
+def _wave_accum_exe(**statics):
+    return jax.jit(functools.partial(_wave_accum_impl, **statics))
+
+
+def _wave_accum_impl(
+    radiance, lane_s, spp,
+    *, w, h, sc, pix_chunk, lanes_padded, aspect,
+):
+    """Per-pixel accumulation with the whole-sample isValidColor filter
+    (renderer.hpp:69-73)."""
+    n_lanes = pix_chunk * sc
+    valid = jnp.all(jnp.isfinite(radiance), axis=-1)
+    radiance = radiance[:n_lanes]
+    valid = valid[:n_lanes]
     r = radiance.reshape(pix_chunk, sc, 3)
     vl = valid.reshape(pix_chunk, sc)
     # Drop samples beyond the requested spp (tail pass when spp % sc != 0).
+    vl = vl & (lane_s[:n_lanes].reshape(pix_chunk, sc) < spp)
+    acc = jnp.sum(jnp.where(vl[..., None], r, 0.0), axis=1)  # [P, 3]
+    cnt = jnp.sum(vl.astype(jnp.int32), axis=1)              # [P]
+    return acc, cnt
+
+
+def _render_wave_impl(
+    scene, accel, camera, base_key, xs, ys, s0, spp,
+    *, w, h, sc, pix_chunk, lanes_padded, block_size, max_bounces, aspect,
+    use_pallas=False, backend=None,
+):
+    """Fully-fused single-program wave (kept for the multichip/sharded
+    paths, which jit whole shards; the single-device scheduler drives
+    bounces from the host via _render_wave — see _bounce_exe)."""
+    closest, occlude = packet_backend(
+        accel, block_size, use_pallas=use_pallas, backend=backend
+    )
+    n_lanes = pix_chunk * sc
+    o, d, keys, lane_s = _wave_gen_impl(
+        camera, base_key, xs, ys, s0,
+        w=w, h=h, sc=sc, pix_chunk=pix_chunk, lanes_padded=lanes_padded,
+        aspect=aspect,
+    )
+    radiance, valid, (nc, ns) = tracer.trace_paths(
+        scene, o, d, keys, max_bounces, closest, occlude
+    )
+    r = radiance[:n_lanes].reshape(pix_chunk, sc, 3)
+    vl = valid[:n_lanes].reshape(pix_chunk, sc)
     vl = vl & (lane_s[:n_lanes].reshape(pix_chunk, sc) < spp)
     acc = jnp.sum(jnp.where(vl[..., None], r, 0.0), axis=1)  # [P, 3]
     cnt = jnp.sum(vl.astype(jnp.int32), axis=1)              # [P]
