@@ -71,11 +71,11 @@ def main():
         max_bounces=args.bounces, seed=0,
     )
 
-    # Warmup/compile pass with identical wave shapes (compiled executable is
-    # cached across render() calls; sample count is a traced operand).
-    npix = args.width * args.height
-    sc = max(1, min((1 << 20) // min(npix, 1 << 20), args.spp))
-    warm = settings.replace(samples_per_pixel=sc)
+    # Warmup/compile pass with IDENTICAL settings: live-lane compaction
+    # compiles one bounce executable per power-of-2 bucket size, and bucket
+    # sizes depend on per-sample live counts — an identical warmup render
+    # guarantees every executable the timed pass needs is already cached.
+    warm = settings.replace(samples_per_pixel=min(args.spp, 2))
     t0 = time.perf_counter()
     wavefront.render(scene, camera, warm, accel=accel, block_size=64,
                      wave_size=1 << 20, backend=args.backend)

@@ -62,6 +62,25 @@ def test_backend_equivalence(room_scene):
                                       err_msg=backend)
 
 
+def test_compaction_bit_identity(room_scene):
+    """Live-lane compaction between bounces must not change any sample
+    (RNG streams are keyed per (lane, depth, purpose), never by wave
+    shape). Force tiny buckets so multi-level compaction triggers."""
+    s = SETTINGS.replace(samples_per_pixel=2, max_bounces=4)
+    ref = wavefront.render(room_scene, default_camera(), s,
+                           wave_size=1 << 12, block_size=64,
+                           backend="packets")
+    orig = wavefront.COMPACT_MIN_BUCKET
+    try:
+        wavefront.COMPACT_MIN_BUCKET = 64
+        img = wavefront.render(room_scene, default_camera(), s,
+                               wave_size=1 << 12, block_size=64,
+                               backend="packets")
+    finally:
+        wavefront.COMPACT_MIN_BUCKET = orig
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(img))
+
+
 def test_default_backend_scale_routing():
     """Big scenes (clusters > 2048) route to the 2-level worklist; ctiles'
     flat per-ray cull only pays at bench-class cluster counts."""
