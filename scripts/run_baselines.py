@@ -63,6 +63,16 @@ def main():
         cfg = benchmarks.get_configs(args.scale)[name]
         scene, camera = benchmarks.build_config_scene(cfg)
         accel = None
+        # Warmup pass: each config's wave shapes compile fresh executables
+        # (and compaction buckets); keep one-time jit cost out of the
+        # recorded Mrays.
+        warm = cfg.settings.replace(
+            seed=1, samples_per_pixel=min(cfg.settings.samples_per_pixel, 2)
+        )
+        t0 = time.perf_counter()
+        wavefront.render(scene, camera, warm, wave_size=1 << 20,
+                         block_size=64)
+        log(f"[{name}] warmup {time.perf_counter() - t0:.1f}s")
         stats = wavefront.RenderStats()
         t0 = time.perf_counter()
         img = wavefront.render(scene, camera, cfg.settings.replace(seed=1),
