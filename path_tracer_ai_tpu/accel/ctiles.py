@@ -76,14 +76,21 @@ from path_tracer_ai_tpu.accel.worklist import (
 )
 
 
-def _ray_masks(accel: ClusterAccel, o_blk, d_blk, tm_blk, t_min, row_chunk):
+def _ray_masks(accel: ClusterAccel, o_blk, d_blk, tm_blk, t_min, row_chunk,
+               live_blocks=None):
     """Per-ray exact cull -> per-BLOCK OR'd candidate sets.
 
     Returns (cand [nb, C] bool, n_cand [nb] i32). Dead rays contribute
     nothing. Inclusive slab bounds (flat AABBs stay in); NaN guards per
     kslots._ray_slab.
+
+    live_blocks: dynamic count of blocks that can contain live rays (valid
+    ONLY when rays are sorted dead-last); chunks past it are skipped —
+    late-bounce waves are mostly dead and the flat slab is the dominant
+    fixed cost.
     """
     nb, b = o_blk.shape[:2]
+    c = accel.num_clusters
 
     pad_rows = (-nb) % row_chunk
     if pad_rows:
@@ -94,8 +101,11 @@ def _ray_masks(accel: ClusterAccel, o_blk, d_blk, tm_blk, t_min, row_chunk):
                          constant_values=-1.0)
     nch = o_blk.shape[0] // row_chunk
 
-    def one_chunk(args):
-        oc, dc, tc = args
+    o_ch = o_blk.reshape(nch, row_chunk, b, 3)
+    d_ch = d_blk.reshape(nch, row_chunk, b, 3)
+    t_ch = tm_blk.reshape(nch, row_chunk, b)
+
+    def one_chunk(oc, dc, tc):
         r = row_chunk * b
         of = oc.reshape(r, 3)
         df = dc.reshape(r, 3)
@@ -107,19 +117,30 @@ def _ray_masks(accel: ClusterAccel, o_blk, d_blk, tm_blk, t_min, row_chunk):
         cand = jnp.any(cand.reshape(row_chunk, b, -1), axis=1)
         return cand, jnp.sum(cand, axis=1).astype(jnp.int32)
 
-    cand, n_cand = jax.lax.map(
-        one_chunk,
-        (
-            o_blk.reshape(nch, row_chunk, b, 3),
-            d_blk.reshape(nch, row_chunk, b, 3),
-            tm_blk.reshape(nch, row_chunk, b),
-        ),
-    )
-    c = cand.shape[-1]
+    if live_blocks is None:
+        cand, n_cand = jax.lax.map(
+            lambda args: one_chunk(*args), (o_ch, d_ch, t_ch)
+        )
+        return cand.reshape(-1, c)[:nb], n_cand.reshape(-1)[:nb]
+
+    n_chunks = jnp.minimum(-(-live_blocks // row_chunk), nch)
+
+    def body(i, carry):
+        cand_all, n_all = carry
+        cc, nc = one_chunk(o_ch[i], d_ch[i], t_ch[i])
+        return (
+            jax.lax.dynamic_update_slice(cand_all, cc[None], (i, 0, 0)),
+            jax.lax.dynamic_update_slice(n_all, nc[None], (i, 0)),
+        )
+
+    cand0 = jnp.zeros((nch, row_chunk, c), bool)
+    n0 = jnp.zeros((nch, row_chunk), jnp.int32)
+    cand, n_cand = jax.lax.fori_loop(0, n_chunks, body, (cand0, n0))
     return cand.reshape(-1, c)[:nb], n_cand.reshape(-1)[:nb]
 
 
-def _build_pairs(accel, cand, n_cand, cap, tile_blocks, tile_chunk):
+def _build_pairs(accel, cand, n_cand, cap, tile_blocks, tile_chunk,
+                 live_blocks=None, row_chunk=1 << 11):
     """Union tables -> cluster-major padded pair slots (flat pair domain).
 
     Pair p lives at flat index block*cap + k (k-th candidate of its
@@ -149,11 +170,33 @@ def _build_pairs(accel, cand, n_cand, cap, tile_blocks, tile_chunk):
 
         words = _pack_bits(cand & ~over[:, None])
         order = jnp.minimum(_peel_k(words, kx, c), c - 1)
-    else:
+    elif live_blocks is None:
         neg_big = jnp.int32(-(2**30))
         col = jnp.arange(c, dtype=jnp.int32)[None, :]
         neg = jnp.where(cand & ~over[:, None], -col, neg_big)
         order = jnp.minimum(_extract_k(neg, kx, neg_big), c - 1)
+    else:
+        # Chunked extraction bounded by the live-block prefix (rows past
+        # it have n_cand == 0, so their order entries are never read).
+        neg_big = jnp.int32(-(2**30))
+        col = jnp.arange(c, dtype=jnp.int32)[None, :]
+        pad_rows = (-nb) % row_chunk
+        cand_p = jnp.pad(cand, ((0, pad_rows), (0, 0)))
+        over_p = jnp.pad(over, (0, pad_rows))
+        nch = cand_p.shape[0] // row_chunk
+        cand_ch = cand_p.reshape(nch, row_chunk, c)
+        over_ch = over_p.reshape(nch, row_chunk)
+        n_chunks = jnp.minimum(-(-live_blocks // row_chunk), nch)
+
+        def body(i, acc):
+            neg = jnp.where(cand_ch[i] & ~over_ch[i][:, None], -col,
+                            neg_big)
+            oc = jnp.minimum(_extract_k(neg, kx, neg_big), c - 1)
+            return jax.lax.dynamic_update_slice(acc, oc[None], (i, 0, 0))
+
+        order0 = jnp.zeros((nch, row_chunk, kx), jnp.int32)
+        order = jax.lax.fori_loop(0, n_chunks, body, order0)
+        order = order.reshape(-1, kx)[:nb]
     if cap > c:
         order = jnp.pad(order, ((0, 0), (0, cap - c)), constant_values=c - 1)
 
@@ -312,10 +355,18 @@ def _run(
         accel, origins, directions, t_max, block, sort, sort_mode
     )
     nb = o_blk.shape[0]
+    # Sorted waves put dead rays last (the key's lead bit), so the cull
+    # and extraction can stop at the live-block prefix.
+    live_blocks = None
+    if sort:
+        n_live = jnp.sum((t_max >= 0.0).astype(jnp.int32))
+        live_blocks = -(-n_live // block)
     cand, n_cand = _ray_masks(
-        accel, o_blk, d_blk, tm_blk, t_min, row_chunk
+        accel, o_blk, d_blk, tm_blk, t_min, row_chunk,
+        live_blocks=live_blocks,
     )
-    pairs = _build_pairs(accel, cand, n_cand, cap, tile_blocks, tile_chunk)
+    pairs = _build_pairs(accel, cand, n_cand, cap, tile_blocks, tile_chunk,
+                         live_blocks=live_blocks, row_chunk=row_chunk)
     blk_res = _sweep_resolve(
         accel, pairs, o_blk, d_blk, tm_blk, t_min,
         cap, tile_blocks, tile_chunk, want_tri,
