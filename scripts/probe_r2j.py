@@ -147,6 +147,32 @@ def main():
     emit("stage", name="s3_sweep_resolve", ms=round(dt * 1e3, 1),
          compile_s=round(cs, 1))
 
+    # --- e2e + headline with live-prefix culling ----------------------------
+    from path_tracer_ai_tpu.config import RenderSettings
+
+    if smoke:
+        settings = RenderSettings(width=128, height=72, samples_per_pixel=2,
+                                  max_bounces=5, seed=0)
+        wavefront.CTILES_CLOSEST_KW = ckw
+    else:
+        settings = RenderSettings(width=1920, height=1080,
+                                  samples_per_pixel=2, max_bounces=5, seed=0)
+    wavefront.clear_executable_caches()
+    t0 = time.perf_counter()
+    warm = settings.replace(samples_per_pixel=1)
+    wavefront.render(scene, camera, warm, accel=accel, block_size=64,
+                     wave_size=1 << 20)
+    log(f"[default e2e] warmup {time.perf_counter() - t0:.1f}s")
+    stats = wavefront.RenderStats()
+    t0 = time.perf_counter()
+    img = wavefront.render(scene, camera, settings, accel=accel,
+                           stats=stats, block_size=64, wave_size=1 << 20)
+    wall = time.perf_counter() - t0
+    assert np.isfinite(img).all()
+    emit("render", tag="default/liveprefix", wall_s=round(wall, 2),
+         mrays=round(stats.mrays_per_s, 3),
+         total_mrays=round(stats.total_rays / 1e6, 1))
+
     log("probe J complete")
 
 
