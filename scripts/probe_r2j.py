@@ -147,6 +147,21 @@ def main():
     emit("stage", name="s3_sweep_resolve", ms=round(dt * 1e3, 1),
          compile_s=round(cs, 1))
 
+    # --- cornell oracle noise floor (contextualizes RESULTS.md's 14.2%) -----
+    if not smoke:
+        from path_tracer_ai_tpu import benchmarks
+        from path_tracer_ai_tpu.engine import oracle
+
+        ccfg = benchmarks.get_configs(1.0)["cornell"]
+        cscene, ccam = benchmarks.build_config_scene(ccfg)
+        oa = oracle.render(cscene, ccam, ccfg.settings.replace(seed=2))
+        ob2 = oracle.render(cscene, ccam, ccfg.settings.replace(seed=3))
+        emit("cornell_noise_floor",
+             floor_pct=round(100 * benchmarks.rmse(oa, ob2), 3),
+             mean_rel_pct=round(
+                 100 * abs(float(oa.mean()) - float(ob2.mean()))
+                 / max(float(ob2.mean()), 1e-9), 3))
+
     # --- e2e + headline with live-prefix culling ----------------------------
     from path_tracer_ai_tpu.config import RenderSettings
 
