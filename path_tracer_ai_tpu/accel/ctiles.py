@@ -408,7 +408,7 @@ def closest_hit_ctiles(
     sort: bool = True,
     sort_mode: str = "octorig",
     fallback_block: int = 64,
-    fallback_compact: int = 1 << 17,
+    fallback_compact: int = 1 << 13,
 ) -> PacketHit:
     """Closest hit via cluster-major tiles; exact for every ray."""
     best_t, best_tri = _run(
@@ -445,7 +445,7 @@ def any_hit_ctiles(
     sort: bool = True,
     sort_mode: str = "octorig",
     fallback_block: int = 64,
-    fallback_compact: int = 1 << 17,
+    fallback_compact: int = 1 << 13,
 ) -> jnp.ndarray:
     """Occlusion query via cluster-major tiles; exact for every ray."""
     (occ,) = _run(

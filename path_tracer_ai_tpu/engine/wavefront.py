@@ -57,7 +57,10 @@ WORKLIST_OCCLUDE_KW = dict(sort=False)
 HYBRID_OCCLUDE_KW = dict(engine="packets")
 KSLOTS_CLOSEST_KW = dict(k_supers=6, k_clusters=12)
 KSLOTS_OCCLUDE_KW = dict(k_supers=6, k_clusters=8)
-CTILES_CLOSEST_KW = dict(cap=48, tile_chunk=2048)
+# fallback_compact SMALL: the compact overflow fallback costs its STATIC
+# size every wave it runs (probe J: 2^17 cost ~360ms for 19 overflow
+# blocks). cap=48 >> p99 union, so overflow populations are tiny.
+CTILES_CLOSEST_KW = dict(cap=48, tile_chunk=2048, fallback_compact=1 << 13)
 # lane_major: shadow waves arrive with each lane's 4 same-origin rays
 # consecutive; block=4 makes one block per lane (shared-origin union cull).
 CTILES_OCCLUDE_KW = dict(lane_major=True, block=4, sort=False)
