@@ -320,7 +320,8 @@ def default_backend(accel: Optional[ClusterAccel] = None) -> str:
     big scenes route to the 2-level worklist (supercluster descent).
 
     v5e, 82k-tri scene, 1080p@2spp/5b (probes round 2): hybrid (ctiles v2
-    closest + packet-cascade shadow) 2.21 Mrays/s vs packets 1.74 vs
+    closest + packet-cascade shadow) 2.76 Mrays/s (with live-prefix
+    culling and right-sized overflow fallbacks) vs packets 1.74 vs
     worklist 0.67 (its shadow fallback cliff) vs ctiles-everywhere 1.08.
     See docs/ARCHITECTURE.md for the decomposition.
     """
