@@ -51,6 +51,12 @@ def main():
     from path_tracer_ai_tpu.io import checkpoint as ckpt_io
 
     results = {}
+    # Merge with a previous partial run (e.g. re-running the fast configs
+    # warm after a methodology fix without repeating gpu-parity/4k).
+    prev = "/root/repo/results/results_r2.json"
+    if os.path.exists(prev):
+        with open(prev) as f:
+            results.update(json.load(f))
 
     def record(name, **kw):
         results[name] = kw
