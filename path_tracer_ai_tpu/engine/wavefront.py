@@ -408,9 +408,17 @@ def _scatter_back(radiance_full, radiance_c, idx):
 
 
 # Compaction trigger: recompact when the live count fits in half the
-# current bucket. Floor keeps tail-bounce buckets from compiling tiny
-# one-off executables.
+# current bucket. A finer {2^k, 3*2^(k-1)} ladder with a 3/4 trigger was
+# measured NEUTRAL on wall-clock (2.74 vs 2.76 Mrays/s e2e) while adding
+# +160s of bucket-executable compiles to warmup — pow2 stays. Floor keeps
+# tail-bounce buckets from compiling tiny one-off programs.
 COMPACT_MIN_BUCKET = 1 << 16
+
+
+def _compact_bucket(n_live: int) -> int:
+    """Smallest power-of-2 bucket >= max(n_live, floor)."""
+    n = max(n_live, COMPACT_MIN_BUCKET)
+    return 1 << max(n - 1, 1).bit_length()
 
 
 def _render_wave(
@@ -452,9 +460,7 @@ def _render_wave(
         if depth > 0:
             n_live = int(jnp.sum(alive))
             cur = o.shape[0]
-            bucket = max(
-                COMPACT_MIN_BUCKET, 1 << max(n_live - 1, 1).bit_length()
-            )
+            bucket = _compact_bucket(n_live)
             if n_live > 0 and bucket <= cur // 2:
                 idx = jnp.nonzero(
                     alive, size=bucket, fill_value=cur
