@@ -108,3 +108,51 @@ def test_wavefront_render_with_pallas_backend(rng):
         wf.packet_backend = orig
         wf.clear_executable_caches()
     np.testing.assert_allclose(img_x, img_p, atol=1e-5)
+
+
+def test_pallas_tile_sweep_matches_mt_sweep(rng):
+    """Fused ctiles tile sweep (interpret mode) == the XLA dense sweep's
+    per-slot results, including t_max masking, dead lanes, tri-id ties,
+    and padding triangles."""
+    import jax
+    import jax.numpy as jnp
+
+    from path_tracer_ai_tpu.accel import pallas_ctiles as pc
+    from path_tracer_ai_tpu.accel.clusters import build_clusters
+    from path_tracer_ai_tpu.accel.traverse import _mt_sweep
+    from tests.test_accel import random_rays, random_soup
+
+    tris = random_soup(rng, 300)
+    accel = build_clusters(tris, cluster_size=128)
+    c = accel.num_clusters
+
+    nt, t_lanes = 6, 128
+    n = nt * t_lanes
+    o, d = random_rays(rng, n)
+    tmax = rng.uniform(0.5, 20.0, n).astype(np.float32)
+    tmax[::5] = -1.0                       # dead slots
+    tmax = jnp.asarray(tmax)
+    tile_cid = jnp.asarray(rng.integers(0, c, nt), jnp.int32)
+
+    tri_pack = pc.pack_tris(accel)
+    rays_pack = pc.pack_rays_tiles(o, d, tmax, t_lanes)
+    t_got, tri_got = pc.tile_sweep(tri_pack, rays_pack, tile_cid,
+                                   interpret=True)
+
+    # Reference: the XLA dense sweep at the same [nt, T, S] shape.
+    ob = o.reshape(nt, t_lanes, 3)
+    db = d.reshape(nt, t_lanes, 3)
+    tb = tmax.reshape(nt, t_lanes)
+    tt, ok = _mt_sweep(ob, db, accel.v0[tile_cid], accel.e1[tile_cid],
+                       accel.e2[tile_cid], 1e-3, tb)
+    tt = jnp.where(ok, tt, jnp.inf)
+    t_ref = jnp.min(tt, axis=-1)
+    cti = accel.tri_id[tile_cid][:, None, :]
+    tri_ref = jnp.min(
+        jnp.where(ok & (tt <= t_ref[..., None]), cti, np.int32(2**31 - 1)),
+        axis=-1,
+    )
+
+    np.testing.assert_allclose(np.asarray(t_got), np.asarray(t_ref),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(tri_got), np.asarray(tri_ref))
