@@ -69,45 +69,53 @@ def pack_rays_tiles(o, d, t_max, t_lanes: int) -> jnp.ndarray:
 
 
 def _sweep_kernel(cid_ref, rays_ref, tri_ref, t_out_ref, tri_out_ref,
-                  *, t_min):
+                  *, t_min, group):
+    """One grid step = `group` tiles sharing ONE cluster (Mosaic needs
+    output blocks with last-two dims divisible by (8, 128), so tiles are
+    processed in groups of 8; the host pads each cluster's tile list)."""
     del cid_ref  # consumed by the index_map only
-    rays = rays_ref[0]                                    # [8, T]
     tri = tri_ref[0]                                      # [16, S]
     trit = tri.T                                          # [S, 16]
-
-    ox, oy, oz = rays[0:1, :], rays[1:2, :], rays[2:3, :]   # [1, T]
-    dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
-    tmax = rays[6:7, :]
 
     v0x, v0y, v0z = trit[:, 0:1], trit[:, 1:2], trit[:, 2:3]  # [S, 1]
     e1x, e1y, e1z = trit[:, 3:4], trit[:, 4:5], trit[:, 5:6]
     e2x, e2y, e2z = trit[:, 6:7], trit[:, 7:8], trit[:, 8:9]
     tid = jax.lax.bitcast_convert_type(trit[:, 9:10], jnp.int32)
 
-    # Möller–Trumbore, identical op order to traverse._mt_sweep ([S, T]).
-    hx = dy * e2z - dz * e2y
-    hy = dz * e2x - dx * e2z
-    hz = dx * e2y - dy * e2x
-    a = e1x * hx + e1y * hy + e1z * hz
-    ok = jnp.abs(a) > MT_EPSILON
-    f = 1.0 / jnp.where(ok, a, 1.0)
-    sx = ox - v0x
-    sy = oy - v0y
-    sz = oz - v0z
-    u = f * (sx * hx + sy * hy + sz * hz)
-    qx = sy * e1z - sz * e1y
-    qy = sz * e1x - sx * e1z
-    qz = sx * e1y - sy * e1x
-    v = f * (dx * qx + dy * qy + dz * qz)
-    t = f * (e2x * qx + e2y * qy + e2z * qz)
-    ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
-    ok &= (t >= t_min) & (t <= tmax)
+    for g in range(group):
+        rays = rays_ref[g]                                # [8, T]
+        ox, oy, oz = rays[0:1, :], rays[1:2, :], rays[2:3, :]  # [1, T]
+        dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
+        tmax = rays[6:7, :]
 
-    tt = jnp.where(ok, t, jnp.inf)
-    best = jnp.min(tt, axis=0, keepdims=True)             # [1, T]
-    tid_masked = jnp.where(ok & (tt <= best), tid, I32_MAX)
-    t_out_ref[0, :] = best[0]
-    tri_out_ref[0, :] = jnp.min(tid_masked, axis=0)
+        # Möller–Trumbore, identical op order to traverse._mt_sweep
+        # ([S, T] outer-broadcast chains).
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        ok = jnp.abs(a) > MT_EPSILON
+        f = 1.0 / jnp.where(ok, a, 1.0)
+        sx = ox - v0x
+        sy = oy - v0y
+        sz = oz - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+        ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+        ok &= (t >= t_min) & (t <= tmax)
+
+        tt = jnp.where(ok, t, jnp.inf)
+        best = jnp.min(tt, axis=0, keepdims=True)         # [1, T]
+        tid_masked = jnp.where(ok & (tt <= best), tid, I32_MAX)
+        t_out_ref[g, :] = best[0]
+        tri_out_ref[g, :] = jnp.min(tid_masked, axis=0)
+
+
+GROUP = 8  # tiles per grid step; output block (GROUP, T) satisfies Mosaic
 
 
 @functools.partial(
@@ -117,29 +125,33 @@ def tile_sweep(tri_pack, rays_pack, tile_cid, t_min=1e-3, interpret=False):
     """Fused per-tile sweep: (t [nt, T], tri [nt, T]); tri = I32_MAX on miss.
 
     tri_pack [C, 16, S] (pack_tris), rays_pack [nt, 8, T]
-    (pack_rays_tiles), tile_cid [nt] i32 (cluster-major: consecutive
-    equal ids elide the triangle DMA).
+    (pack_rays_tiles), tile_cid [nt] i32. nt must be a multiple of GROUP
+    and tile_cid must be constant within each GROUP-tile run (the
+    cluster-major pair builder pads each cluster's tile list); tile_cid
+    is also the DMA-elision key across consecutive steps.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     nt, _, t_lanes = rays_pack.shape
     s = tri_pack.shape[2]
+    g = GROUP
+    assert nt % g == 0, nt
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nt,),
+        grid=(nt // g,),
         in_specs=[
-            pl.BlockSpec((1, 8, t_lanes), lambda i, cid: (i, 0, 0)),
-            pl.BlockSpec((1, 16, s), lambda i, cid: (cid[i], 0, 0)),
+            pl.BlockSpec((g, 8, t_lanes), lambda i, cid: (i, 0, 0)),
+            pl.BlockSpec((1, 16, s), lambda i, cid: (cid[i * g], 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, t_lanes), lambda i, cid: (i, 0)),
-            pl.BlockSpec((1, t_lanes), lambda i, cid: (i, 0)),
+            pl.BlockSpec((g, t_lanes), lambda i, cid: (i, 0)),
+            pl.BlockSpec((g, t_lanes), lambda i, cid: (i, 0)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_sweep_kernel, t_min=t_min),
+        functools.partial(_sweep_kernel, t_min=t_min, group=g),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nt, t_lanes), jnp.float32),

@@ -43,10 +43,14 @@ tm = np.full(nt * t_lanes, np.inf, np.float32)
 tm[:: 7] = -1.0
 tm = jnp.asarray(tm)
 
-# cluster-major cid (runs of ~nt/c) vs random
-reps = -(-nt // c)
-cid_sorted = jnp.asarray(np.sort(rng.integers(0, c, nt)), jnp.int32)
-cid_rand = jnp.asarray(rng.integers(0, c, nt), jnp.int32)
+# cluster-major cid (runs of ~nt/c) vs random; constant within each
+# GROUP-tile run (the kernel's host contract)
+from path_tracer_ai_tpu.accel.pallas_ctiles import GROUP
+ngrp = nt // GROUP
+cid_sorted = jnp.asarray(
+    np.repeat(np.sort(rng.integers(0, c, ngrp)), GROUP), jnp.int32)
+cid_rand = jnp.asarray(
+    np.repeat(rng.integers(0, c, ngrp), GROUP), jnp.int32)
 
 tri_pack = pc.pack_tris(accel)
 rays_pack = pc.pack_rays_tiles(o, d, tm, t_lanes)

@@ -126,13 +126,17 @@ def test_pallas_tile_sweep_matches_mt_sweep(rng):
     accel = build_clusters(tris, cluster_size=128)
     c = accel.num_clusters
 
-    nt, t_lanes = 6, 128
+    from path_tracer_ai_tpu.accel.pallas_ctiles import GROUP
+
+    nt, t_lanes = 2 * GROUP, 128
     n = nt * t_lanes
     o, d = random_rays(rng, n)
     tmax = rng.uniform(0.5, 20.0, n).astype(np.float32)
     tmax[::5] = -1.0                       # dead slots
     tmax = jnp.asarray(tmax)
-    tile_cid = jnp.asarray(rng.integers(0, c, nt), jnp.int32)
+    # cid constant within each GROUP-tile run (the builder's contract)
+    tile_cid = jnp.asarray(
+        np.repeat(rng.integers(0, c, nt // GROUP), GROUP), jnp.int32)
 
     tri_pack = pc.pack_tris(accel)
     rays_pack = pc.pack_rays_tiles(o, d, tmax, t_lanes)
