@@ -140,16 +140,19 @@ def _ray_masks(accel: ClusterAccel, o_blk, d_blk, tm_blk, t_min, row_chunk,
 
 
 def _build_pairs(accel, cand, n_cand, cap, tile_blocks, tile_chunk,
-                 live_blocks=None, row_chunk=1 << 11):
+                 live_blocks=None, row_chunk=1 << 11, tile_group=1):
     """Union tables -> cluster-major padded pair slots (flat pair domain).
 
     Pair p lives at flat index block*cap + k (k-th candidate of its
     block), so its owner is p // cap — COMPUTED, never gathered. One
     lax.sort by cluster id (payload = flat pair index) produces the
     cluster-major order; each cluster's pair list is padded to whole
-    tiles of `tile_blocks` entries. All per-slot index math happens
-    chunk-locally inside the sweep loop, so nothing here scales with the
-    static bound except the sort itself.
+    tiles of `tile_blocks` entries — or to `tile_group`-tile runs when
+    the Pallas sweep consumes the table (its grid steps process
+    tile_group tiles sharing ONE cluster, so a cluster run must never
+    straddle a group). All per-slot index math happens chunk-locally
+    inside the sweep loop, so nothing here scales with the static bound
+    except the sort itself.
 
     Returns a dict of index arrays; shapes static, live counts dynamic.
     """
@@ -212,7 +215,8 @@ def _build_pairs(accel, cand, n_cand, cap, tile_blocks, tile_chunk,
         key_sorted, jnp.arange(c + 1, dtype=jnp.int32)
     ).astype(jnp.int32)                                       # [c+1]
     counts = base[1:] - base[:-1]                             # [c]
-    pcounts = (-(-counts // tb)) * tb
+    unit = tb * tile_group
+    pcounts = (-(-counts // unit)) * unit
     pbase = jnp.cumsum(pcounts) - pcounts                     # [c]
     n_slots = jnp.sum(pcounts)
 
@@ -220,7 +224,8 @@ def _build_pairs(accel, cand, n_cand, cap, tile_blocks, tile_chunk,
     # (the sweep's dynamic_slice must never clamp: chunk-local p_idx math
     # would desynchronize from a clamped slice).
     step = tb * tile_chunk
-    ni_pad = -(-(n_pairs + tb * c) // step) * step
+    assert step % unit == 0, (tile_chunk, tile_group)
+    ni_pad = -(-(n_pairs + unit * c) // step) * step
     mark = jnp.where(pcounts > 0, pbase, ni_pad)
     slot_cid = (
         jnp.zeros((ni_pad,), jnp.int32)
@@ -237,6 +242,7 @@ def _build_pairs(accel, cand, n_cand, cap, tile_blocks, tile_chunk,
 def _sweep_resolve(
     accel, pairs, o_blk, d_blk, tm_blk, t_min,
     cap, tile_blocks, tile_chunk, want_tri,
+    use_pallas=False, interpret=False,
 ):
     """Fused sweep + resolve: dense [chunk, T, S] MT over cluster-major
     tiles, per-block reduction via chunked row scatter-min.
@@ -247,6 +253,14 @@ def _sweep_resolve(
     The (t, triangle-id) tie rule needs the final per-block t before tri
     ids can be masked, so a second (cheap, MT-free) pass re-reads the
     stored per-slot results and scatter-mins the masked ids.
+
+    use_pallas=True swaps the chunk's dense XLA MT for the fused Pallas
+    tile sweep (accel.pallas_ctiles — measured 27.5-32.9 vs 22.8 Gtests/s
+    on v5e at the production shape, exact agreement): rays are gathered
+    chunk-locally into [tc, 8, T] tile packs, the kernel's scalar-prefetch
+    cluster ids ride the cluster-major order so consecutive grid steps
+    elide the triangle DMA, and the per-slot (t, tri) reduction happens
+    in-kernel. Requires pairs built with tile_group == pallas_ctiles.GROUP.
     """
     nb, b = o_blk.shape[:2]
     tb = tile_blocks
@@ -289,14 +303,81 @@ def _sweep_resolve(
         tt = jnp.where(ok, tt, jnp.inf)
         return sc, blk, tt, ok, cid_c
 
+    if use_pallas:
+        from path_tracer_ai_tpu.accel import pallas_ctiles as pc
+
+        assert tc % pc.GROUP == 0, (tc, pc.GROUP)
+        tri_pack = pc.pack_tris(accel)
+        tmin_row = jnp.broadcast_to(
+            jnp.asarray(t_min, jnp.float32), (nb, 1, b)
+        )
+        # Block-row ray pack [nb+1, 8, b] (component rows x ray lanes);
+        # row nb is the dead block that dead slots gather — its t_max=-1
+        # kills every test, matching mt_chunk's live masking.
+        rb = jnp.concatenate(
+            [
+                jnp.moveaxis(o_blk, 1, 2),                    # [nb, 3, b]
+                jnp.moveaxis(d_blk, 1, 2),
+                tm_blk[:, None, :],
+                tmin_row,
+            ],
+            axis=1,
+        )
+        dead = jnp.concatenate(
+            [
+                jnp.zeros((1, 3, b), jnp.float32),
+                jnp.ones((1, 3, b), jnp.float32),
+                jnp.full((1, 1, b), -1.0, jnp.float32),
+                tmin_row[:1],
+            ],
+            axis=1,
+        )
+        ray_blocks = jnp.concatenate([rb, dead], axis=0)      # [nb+1, 8, b]
+
+        def slot_chunk(start):
+            """-> (blk [tc*tb], per-slot closest ct/tri_min [tc, T])."""
+            sc, blk, _live = chunk_indices(start)
+            rg = ray_blocks[blk]                              # [tc*tb, 8, b]
+            rays_pack = (
+                rg.reshape(tc, tb, 8, b)
+                .transpose(0, 2, 1, 3)
+                .reshape(tc, 8, t_lanes)
+            )
+            cid_c = sc.reshape(tc, tb)[:, 0]
+            ct, tri_min = pc.tile_sweep(
+                tri_pack, rays_pack, cid_c, interpret=interpret
+            )
+            return blk, ct, tri_min
+    else:
+
+        def slot_chunk(start):
+            _, blk, tt, ok, cid_c = mt_chunk(start)
+            ct = jnp.min(tt, axis=-1)                         # [tc, T]
+            cti = accel.tri_id[cid_c][:, None, :]             # [tc, 1, S]
+            tri_min = jnp.min(
+                jnp.where((tt <= ct[..., None]) & ok, cti, I32_MAX), axis=-1
+            )
+            return blk, ct, tri_min
+
     if not want_tri:
         occ0 = jnp.zeros((nb, b), jnp.int32)
 
-        def body(i, occ_blk):
-            _, blk, tt, ok, _ = mt_chunk(i * tc)
-            occ_c = jnp.any(ok, axis=-1).reshape(tc * tb, b)
-            return occ_blk.at[blk].max(occ_c.astype(jnp.int32),
-                                       mode="drop")
+        if use_pallas:
+
+            def body(i, occ_blk):
+                blk, _ct, tri_min = slot_chunk(i * tc)
+                # tri_min != I32_MAX iff any slot test passed — exact
+                # any(ok) even for (pathological) t = +inf hits.
+                occ_c = (tri_min != I32_MAX).reshape(tc * tb, b)
+                return occ_blk.at[blk].max(occ_c.astype(jnp.int32),
+                                           mode="drop")
+        else:
+
+            def body(i, occ_blk):
+                _, blk, tt, ok, _ = mt_chunk(i * tc)
+                occ_c = jnp.any(ok, axis=-1).reshape(tc * tb, b)
+                return occ_blk.at[blk].max(occ_c.astype(jnp.int32),
+                                           mode="drop")
 
         occ_blk = jax.lax.fori_loop(0, n_chunks, body, occ0)
         return (occ_blk > 0,)
@@ -309,12 +390,7 @@ def _sweep_resolve(
     def body1(i, carry):
         t_pad, tri_pad, t_blk = carry
         start = i * tc
-        _, blk, tt, ok, cid_c = mt_chunk(start)
-        ct = jnp.min(tt, axis=-1)                             # [tc, T]
-        cti = accel.tri_id[cid_c][:, None, :]                 # [tc, 1, S]
-        tri_min = jnp.min(
-            jnp.where((tt <= ct[..., None]) & ok, cti, I32_MAX), axis=-1
-        )
+        blk, ct, tri_min = slot_chunk(start)
         t_blk = t_blk.at[blk].min(ct.reshape(tc * tb, b), mode="drop")
         t_pad = jax.lax.dynamic_update_slice(t_pad, ct, (start, 0))
         tri_pad = jax.lax.dynamic_update_slice(tri_pad, tri_min, (start, 0))
@@ -348,6 +424,7 @@ def _run(
     accel, origins, directions, t_min, t_max, *,
     block, cap, tile_blocks, row_chunk, tile_chunk,
     sort, sort_mode, fallback_block, fallback_compact, want_tri,
+    use_pallas=False, interpret=False,
 ):
     n = origins.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -365,11 +442,16 @@ def _run(
         accel, o_blk, d_blk, tm_blk, t_min, row_chunk,
         live_blocks=live_blocks,
     )
+    tile_group = 1
+    if use_pallas:
+        from path_tracer_ai_tpu.accel.pallas_ctiles import GROUP as tile_group
     pairs = _build_pairs(accel, cand, n_cand, cap, tile_blocks, tile_chunk,
-                         live_blocks=live_blocks, row_chunk=row_chunk)
+                         live_blocks=live_blocks, row_chunk=row_chunk,
+                         tile_group=tile_group)
     blk_res = _sweep_resolve(
         accel, pairs, o_blk, d_blk, tm_blk, t_min,
         cap, tile_blocks, tile_chunk, want_tri,
+        use_pallas=use_pallas, interpret=interpret,
     )
     res_u = _unsort(tuple(a.reshape(-1) for a in blk_res), perm, npad, n)
 
@@ -391,7 +473,7 @@ def _run(
     static_argnames=(
         "block", "cap", "tile_blocks", "row_chunk",
         "tile_chunk", "sort", "sort_mode", "fallback_block",
-        "fallback_compact",
+        "fallback_compact", "use_pallas", "interpret",
     ),
 )
 def closest_hit_ctiles(
@@ -409,6 +491,8 @@ def closest_hit_ctiles(
     sort_mode: str = "octorig",
     fallback_block: int = 64,
     fallback_compact: int = 1 << 13,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> PacketHit:
     """Closest hit via cluster-major tiles; exact for every ray."""
     best_t, best_tri = _run(
@@ -417,6 +501,7 @@ def closest_hit_ctiles(
         tile_blocks=tile_blocks, row_chunk=row_chunk, tile_chunk=tile_chunk,
         sort=sort, sort_mode=sort_mode, fallback_block=fallback_block,
         fallback_compact=fallback_compact, want_tri=True,
+        use_pallas=use_pallas, interpret=interpret,
     )
     hit = jnp.isfinite(best_t)
     return PacketHit(hit=hit, t=best_t, tri=jnp.where(hit, best_tri, -1))
@@ -428,7 +513,7 @@ def closest_hit_ctiles(
     static_argnames=(
         "block", "cap", "tile_blocks", "row_chunk",
         "tile_chunk", "sort", "sort_mode", "fallback_block",
-        "fallback_compact",
+        "fallback_compact", "use_pallas", "interpret",
     ),
 )
 def any_hit_ctiles(
@@ -446,6 +531,8 @@ def any_hit_ctiles(
     sort_mode: str = "octorig",
     fallback_block: int = 64,
     fallback_compact: int = 1 << 13,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Occlusion query via cluster-major tiles; exact for every ray."""
     (occ,) = _run(
@@ -454,5 +541,6 @@ def any_hit_ctiles(
         tile_blocks=tile_blocks, row_chunk=row_chunk, tile_chunk=tile_chunk,
         sort=sort, sort_mode=sort_mode, fallback_block=fallback_block,
         fallback_compact=fallback_compact, want_tri=False,
+        use_pallas=use_pallas, interpret=interpret,
     )
     return occ

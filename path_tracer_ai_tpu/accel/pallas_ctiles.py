@@ -58,18 +58,22 @@ def pack_tris(accel) -> jnp.ndarray:
     return jnp.pad(pack, ((0, 0), (0, 6), (0, 0)))        # [C, 16, S]
 
 
-def pack_rays_tiles(o, d, t_max, t_lanes: int) -> jnp.ndarray:
-    """[nt, 8, T] ray pack; N must be a multiple of t_lanes."""
+def pack_rays_tiles(o, d, t_max, t_lanes: int, t_min=1e-3) -> jnp.ndarray:
+    """[nt, 8, T] ray pack; N must be a multiple of t_lanes.
+
+    Row 7 carries t_min (a per-lane constant) so the kernel needs no
+    static t_min argument — the ctiles pipeline receives t_min as a
+    traced value and cannot turn it back into a static."""
     n = o.shape[0]
     nt = n // t_lanes
     rows = [o[:, k] for k in range(3)] + [d[:, k] for k in range(3)]
-    rows += [t_max, jnp.zeros((n,), jnp.float32)]
+    rows += [t_max, jnp.full((n,), t_min, jnp.float32)]
     flat = jnp.stack(rows, axis=0)                        # [8, N]
     return jnp.moveaxis(flat.reshape(8, nt, t_lanes), 0, 1)
 
 
 def _sweep_kernel(cid_ref, rays_ref, tri_ref, t_out_ref, tri_out_ref,
-                  *, t_min, group):
+                  *, group):
     """One grid step = `group` tiles sharing ONE cluster (Mosaic needs
     output blocks with last-two dims divisible by (8, 128), so tiles are
     processed in groups of 8; the host pads each cluster's tile list)."""
@@ -87,6 +91,7 @@ def _sweep_kernel(cid_ref, rays_ref, tri_ref, t_out_ref, tri_out_ref,
         ox, oy, oz = rays[0:1, :], rays[1:2, :], rays[2:3, :]  # [1, T]
         dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
         tmax = rays[6:7, :]
+        tmin = rays[7:8, :]
 
         # Möller–Trumbore, identical op order to traverse._mt_sweep
         # ([S, T] outer-broadcast chains).
@@ -106,7 +111,7 @@ def _sweep_kernel(cid_ref, rays_ref, tri_ref, t_out_ref, tri_out_ref,
         v = f * (dx * qx + dy * qy + dz * qz)
         t = f * (e2x * qx + e2y * qy + e2z * qz)
         ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
-        ok &= (t >= t_min) & (t <= tmax)
+        ok &= (t >= tmin) & (t <= tmax)
 
         tt = jnp.where(ok, t, jnp.inf)
         best = jnp.min(tt, axis=0, keepdims=True)         # [1, T]
@@ -118,17 +123,21 @@ def _sweep_kernel(cid_ref, rays_ref, tri_ref, t_out_ref, tri_out_ref,
 GROUP = 8  # tiles per grid step; output block (GROUP, T) satisfies Mosaic
 
 
-@functools.partial(
-    jax.jit, static_argnames=("t_min", "interpret")
-)
-def tile_sweep(tri_pack, rays_pack, tile_cid, t_min=1e-3, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def tile_sweep(tri_pack, rays_pack, tile_cid, interpret=False):
     """Fused per-tile sweep: (t [nt, T], tri [nt, T]); tri = I32_MAX on miss.
 
     tri_pack [C, 16, S] (pack_tris), rays_pack [nt, 8, T]
-    (pack_rays_tiles), tile_cid [nt] i32. nt must be a multiple of GROUP
-    and tile_cid must be constant within each GROUP-tile run (the
-    cluster-major pair builder pads each cluster's tile list); tile_cid
-    is also the DMA-elision key across consecutive steps.
+    (pack_rays_tiles; row 7 = t_min), tile_cid [nt] i32. nt must be a
+    multiple of GROUP and tile_cid must be constant within each
+    GROUP-tile run (the cluster-major pair builder pads each cluster's
+    tile list to GROUP-tile granularity — _build_pairs tile_group);
+    tile_cid is also the DMA-elision key across consecutive steps.
+
+    The production caller (ctiles._sweep_resolve use_pallas=True) invokes
+    this per tile-chunk inside a dynamically-bounded fori_loop, so kernel
+    work — like every other pipeline stage — scales with LIVE pairs while
+    the chunk-local ray gather stays memory-bounded.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -151,7 +160,7 @@ def tile_sweep(tri_pack, rays_pack, tile_cid, t_min=1e-3, interpret=False):
         ],
     )
     return pl.pallas_call(
-        functools.partial(_sweep_kernel, t_min=t_min, group=g),
+        functools.partial(_sweep_kernel, group=g),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nt, t_lanes), jnp.float32),

@@ -182,7 +182,9 @@ def packet_backend(
                 accel, o, d, RAY_TMIN, t_max, **CTILES_CLOSEST_KW
             )
 
-        if HYBRID_OCCLUDE_KW.get("engine") == "packets":
+        hybrid_eng = HYBRID_OCCLUDE_KW.get("engine")
+        okw = {k: v for k, v in HYBRID_OCCLUDE_KW.items() if k != "engine"}
+        if hybrid_eng == "packets":
             # In-render shadow waves overflow the worklist's conservative
             # cap on ~5% of rays, and its compact fallback costs its STATIC
             # size every wave (the e2e cliff measured in round 2). The
@@ -191,9 +193,20 @@ def packet_backend(
                 return traverse.any_hit_packets(
                     accel, o, d, RAY_TMIN, t_max, block_size=block_size
                 )
+        elif hybrid_eng == "ctiles":
+            # Per-ray-exact OR-union shadow path (round-3 lever: shadows
+            # are ~80% of traced rays); right-sized fallback per the
+            # round-2 lesson. okw may carry lane_major (consumed below)
+            # and use_pallas for the fused tile sweep.
+            lane_major = okw.pop("lane_major", False)
+
+            def occlude(o, d, t_max):
+                return ctiles.any_hit_ctiles(
+                    accel, o, d, RAY_TMIN, t_max, **okw
+                )
+
+            occlude.lane_major = lane_major
         else:
-            okw = {k: v for k, v in HYBRID_OCCLUDE_KW.items()
-                   if k != "engine"}
 
             def occlude(o, d, t_max):
                 return worklist.any_hit_worklist(

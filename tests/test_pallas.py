@@ -110,6 +110,75 @@ def test_wavefront_render_with_pallas_backend(rng):
     np.testing.assert_allclose(img_x, img_p, atol=1e-5)
 
 
+class TestCtilesPallasIntegration:
+    """closest/any_hit_ctiles(use_pallas=True) — the fused tile sweep wired
+    into the full ctiles pipeline — must bit-match the XLA ctiles path and
+    brute force (interpret mode on CPU)."""
+
+    def _check(self, tris, accel, o, d, t_max=np.inf, **kw):
+        from path_tracer_ai_tpu.accel.ctiles import (
+            any_hit_ctiles,
+            closest_hit_ctiles,
+        )
+        from path_tracer_ai_tpu.engine.intersect import any_hit, closest_hit
+
+        kw.setdefault("row_chunk", 32)
+        kw.setdefault("tile_chunk", 8)   # must be a multiple of GROUP
+        ph = closest_hit_ctiles(accel, o, d, 1e-3, t_max,
+                                use_pallas=True, interpret=True, **kw)
+        px = closest_hit_ctiles(accel, o, d, 1e-3, t_max, **kw)
+        bh = closest_hit(tris, o, d, 1e-3, t_max)
+        # vs the XLA ctiles path: same pipeline, swapped sweep. On TPU the
+        # two sweeps agree BITWISE (probe N: 0/8.4M lane mismatches, and
+        # the bench session asserts it each round); CPU interpret mode may
+        # differ by FMA contraction — allow ulp-level slack here only.
+        np.testing.assert_array_equal(np.asarray(ph.hit), np.asarray(px.hit))
+        np.testing.assert_allclose(np.asarray(ph.t), np.asarray(px.t),
+                                   rtol=3e-7)
+        np.testing.assert_array_equal(np.asarray(ph.tri), np.asarray(px.tri))
+        m = np.asarray(bh.hit)
+        np.testing.assert_array_equal(np.asarray(ph.hit), m)
+        np.testing.assert_allclose(np.asarray(ph.t)[m], np.asarray(bh.t)[m],
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(ph.tri)[m],
+                                      np.asarray(bh.tri)[m])
+        tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                                    (o.shape[0],))
+        pa = any_hit_ctiles(accel, o, d, 1e-3, tmax_arr,
+                            use_pallas=True, interpret=True, **kw)
+        ba = any_hit(tris, o, d, 1e-3, tmax_arr)
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(ba))
+
+    def test_matches_bruteforce_and_xla(self, rng):
+        from path_tracer_ai_tpu.core.types import triangles_from_numpy
+        from tests.test_accel import random_rays, random_soup as soup
+
+        tris = soup(rng, 600)
+        accel = build_clusters(tris, cluster_size=16, super_size=4)
+        o, d = random_rays(rng, 300)
+        self._check(tris, accel, o, d)
+
+    def test_dead_lanes_and_tmax(self, rng):
+        from tests.test_accel import random_rays, random_soup as soup
+
+        tris = soup(rng, 300)
+        accel = build_clusters(tris, cluster_size=16)
+        o, d = random_rays(rng, 256)
+        tmax = rng.uniform(0.5, 15.0, 256).astype(np.float32)
+        tmax[::4] = -1.0
+        self._check(tris, accel, o, d, t_max=jnp.asarray(tmax))
+
+    def test_cap_overflow_fallback(self, rng):
+        """Tiny cap forces per-block overflow through the fallback while
+        the Pallas sweep handles the rest — still exact."""
+        from tests.test_accel import random_rays, random_soup as soup
+
+        tris = soup(rng, 800, spread=2.0)
+        accel = build_clusters(tris, cluster_size=8, super_size=4)
+        o, d = random_rays(rng, 128)
+        self._check(tris, accel, o, d, cap=4, tile_blocks=4)
+
+
 def test_pallas_tile_sweep_matches_mt_sweep(rng):
     """Fused ctiles tile sweep (interpret mode) == the XLA dense sweep's
     per-slot results, including t_max masking, dead lanes, tri-id ties,
