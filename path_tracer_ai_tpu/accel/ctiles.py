@@ -51,10 +51,12 @@ Reference roles: hardware optixTrace + GAS
  /root/reference/src/gpu/optix_renderer.cu:233-353) and BVH descent
 (/root/reference/include/bvh.hpp:74-116).
 
-Scale note: the flat per-ray cull materializes [rows, C] masks in chunks;
-fine to a few thousand clusters (~256k triangles at S=128). Larger scenes
-should use the 2-level worklist backend until the hierarchical cull lands
-here.
+Scale note: the flat per-ray cull (levels=1) materializes [rows, C] masks
+in chunks — fine to a few thousand clusters (~256k triangles at S=128).
+Past that, levels=2 (`_block_candidates_2level`, auto-selected) culls a
+per-block supercluster shortlist first and slab-tests only its children
+per ray, keeping the cull linear in rays at 1M+ triangles while staying
+per-ray-exact (a ray's candidates are a subset of its super candidates).
 """
 
 from __future__ import annotations
@@ -139,34 +141,20 @@ def _ray_masks(accel: ClusterAccel, o_blk, d_blk, tm_blk, t_min, row_chunk,
     return cand.reshape(-1, c)[:nb], n_cand.reshape(-1)[:nb]
 
 
-def _build_pairs(accel, cand, n_cand, cap, tile_blocks, tile_chunk,
-                 live_blocks=None, row_chunk=1 << 11, tile_group=1):
-    """Union tables -> cluster-major padded pair slots (flat pair domain).
+def _extract_order_flat(accel, cand, n_cand, cap, live_blocks=None,
+                        row_chunk=1 << 11):
+    """Per-block candidate ids (ascending) from flat [nb, C] masks.
 
-    Pair p lives at flat index block*cap + k (k-th candidate of its
-    block), so its owner is p // cap — COMPUTED, never gathered. One
-    lax.sort by cluster id (payload = flat pair index) produces the
-    cluster-major order; each cluster's pair list is padded to whole
-    tiles of `tile_blocks` entries — or to `tile_group`-tile runs when
-    the Pallas sweep consumes the table (its grid steps process
-    tile_group tiles sharing ONE cluster, so a cluster run must never
-    straddle a group). All per-slot index math happens chunk-locally
-    inside the sweep loop, so nothing here scales with the static bound
-    except the sort itself.
-
-    Returns a dict of index arrays; shapes static, live counts dynamic.
+    Returns (order [nb, kx], n_cand, over); garbage past n_cand slots.
+    Small caps: popcount-bitmask peeling (cap cheap unrolled passes over
+    [nb, C/32] words). Large caps: lax.top_k (the peel's unrolled trace
+    would dominate compile time).
     """
     nb = cand.shape[0]
     c = accel.num_clusters
-    tb = tile_blocks
-
     over = n_cand > cap
     n_cand = jnp.where(over, 0, n_cand)
 
-    # Per-block candidate ids, ascending (garbage past n_cand slots).
-    # Small caps: popcount-bitmask peeling (cap cheap unrolled passes over
-    # [nb, C/32] words). Large caps: lax.top_k (the peel's unrolled trace
-    # would dominate compile time).
     kx = min(cap, c)
     if kx <= 32:
         from path_tracer_ai_tpu.accel.kslots import _pack_bits, _peel_k
@@ -200,8 +188,174 @@ def _build_pairs(accel, cand, n_cand, cap, tile_blocks, tile_chunk,
         order0 = jnp.zeros((nch, row_chunk, kx), jnp.int32)
         order = jax.lax.fori_loop(0, n_chunks, body, order0)
         order = order.reshape(-1, kx)[:nb]
-    if cap > c:
-        order = jnp.pad(order, ((0, 0), (0, cap - c)), constant_values=c - 1)
+    return order, n_cand, over
+
+
+def _block_candidates_2level(
+    accel: ClusterAccel, o_blk, d_blk, tm_blk, t_min, cap, row_chunk,
+    super_cap, live_blocks=None,
+):
+    """Hierarchical per-ray cull: supercluster shortlist per BLOCK, then
+    per-RAY slab against only the shortlist's child clusters.
+
+    The flat cull materializes [rows, C] masks — fine to a few thousand
+    clusters, quadratic death at 1M+ triangles. This is the flat analog
+    of BVH descent (bvh.hpp:74-116), per-ray-exact like the flat path:
+    a ray's exact candidate set is a subset of its super candidate set,
+    and the block shortlist is the OR of per-ray super sets, so no
+    cluster a ray could hit is ever dropped (blocks whose super union
+    exceeds super_cap overflow to the fallback). Child candidate ids come
+    out ascending for free (supers ascend, children within a super
+    ascend) — the same id-order contract as the flat extraction.
+
+    Returns (order [nb, kx], n_cand [nb], over [nb]).
+    """
+    nb, b = o_blk.shape[:2]
+    c = accel.num_clusters
+    cs = accel.num_supers
+    ss = accel.super_size
+    scap = min(super_cap, cs)
+    k_child = scap * ss
+    kx = min(cap, k_child, c)
+    neg_big = jnp.int32(-(2**30))
+
+    pad_rows = (-nb) % row_chunk
+    if pad_rows:
+        o_blk = jnp.pad(o_blk, ((0, pad_rows), (0, 0), (0, 0)))
+        d_blk = jnp.pad(d_blk, ((0, pad_rows), (0, 0), (0, 0)),
+                        constant_values=1.0)
+        tm_blk = jnp.pad(tm_blk, ((0, pad_rows), (0, 0)),
+                         constant_values=-1.0)
+    nch = o_blk.shape[0] // row_chunk
+
+    o_ch = o_blk.reshape(nch, row_chunk, b, 3)
+    d_ch = d_blk.reshape(nch, row_chunk, b, 3)
+    t_ch = tm_blk.reshape(nch, row_chunk, b)
+
+    def one_chunk(oc, dc, tc):
+        rc = oc.shape[0]
+        r = rc * b
+        of = oc.reshape(r, 3)
+        df = dc.reshape(r, 3)
+        tf = tc.reshape(r)
+        live = tf >= 0.0
+        lo0 = jnp.full((r,), jnp.float32(t_min))
+        hi0 = jnp.where(live, tf, -jnp.inf)
+
+        # Level 1: per-ray super slab -> per-block OR -> shortlist.
+        cand_s = _ray_slab(accel.sbmin, accel.sbmax, of, df, lo0, hi0)
+        cand_sb = jnp.any(cand_s.reshape(rc, b, cs), axis=1)  # [rc, Cs]
+        n_sup = jnp.sum(cand_sb, axis=1).astype(jnp.int32)
+        over = n_sup > scap
+        scol = jnp.arange(cs, dtype=jnp.int32)[None, :]
+        negs = jnp.where(cand_sb & ~over[:, None], -scol, neg_big)
+        sup = _extract_k(negs, scap, neg_big)                 # [rc, scap]
+        sup_live = sup >= 0
+        sup_c = jnp.clip(sup, 0, cs - 1)
+
+        # Level 2: per-ray slab vs the block's gathered child AABBs
+        # (whole-super contiguous rows; padding slots hold inverted
+        # boxes that fail every slab test). Component-wise interval
+        # refinement keeps temporaries at [rc, b, K] instead of
+        # [rc, b, K, 3].
+        cbmin = accel.cbmin[sup_c].reshape(rc, k_child, 3)
+        cbmax = accel.cbmax[sup_c].reshape(rc, k_child, 3)
+        inv = 1.0 / dc                                        # [rc, b, 3]
+        lo = jnp.broadcast_to(
+            jnp.float32(t_min), (rc, b, k_child)
+        )
+        hi = jnp.broadcast_to(
+            jnp.where(tc >= 0.0, tc, -jnp.inf)[..., None], (rc, b, k_child)
+        )
+        for a in range(3):
+            t0 = (cbmin[:, None, :, a] - oc[:, :, None, a]) * inv[:, :, None, a]
+            t1 = (cbmax[:, None, :, a] - oc[:, :, None, a]) * inv[:, :, None, a]
+            near = jnp.minimum(t0, t1)
+            far = jnp.maximum(t0, t1)
+            # 0*inf NaN (origin on an axis-parallel slab plane) must keep.
+            near = jnp.where(jnp.isnan(near), -jnp.inf, near)
+            far = jnp.where(jnp.isnan(far), jnp.inf, far)
+            lo = jnp.maximum(lo, near)
+            hi = jnp.minimum(hi, far)
+        cand_k = jnp.any(hi >= lo, axis=1)                    # [rc, K]
+        cand_k &= jnp.repeat(sup_live, ss, axis=1)
+        cand_k &= ~over[:, None]
+
+        child_id = (
+            sup_c[:, :, None] * ss
+            + jnp.arange(ss, dtype=jnp.int32)[None, None, :]
+        ).reshape(rc, k_child)                                # ascending
+        n_cand = jnp.sum(cand_k, axis=1).astype(jnp.int32)
+        over = over | (n_cand > kx)
+        cand_k &= ~over[:, None]
+        n_cand = jnp.where(over, 0, n_cand)
+        negk = jnp.where(cand_k, -child_id, neg_big)
+        order = jnp.minimum(
+            jnp.clip(_extract_k(negk, kx, neg_big), 0, None), c - 1
+        )
+        return order, n_cand, over
+
+    if live_blocks is None:
+        order, n_cand, over = jax.lax.map(
+            lambda args: one_chunk(*args), (o_ch, d_ch, t_ch)
+        )
+        return (
+            order.reshape(-1, kx)[:nb],
+            n_cand.reshape(-1)[:nb],
+            over.reshape(-1)[:nb],
+        )
+
+    n_chunks = jnp.minimum(-(-live_blocks // row_chunk), nch)
+
+    def body(i, carry):
+        ord_all, n_all, ov_all = carry
+        oc, ncn, ov = one_chunk(o_ch[i], d_ch[i], t_ch[i])
+        return (
+            jax.lax.dynamic_update_slice(ord_all, oc[None], (i, 0, 0)),
+            jax.lax.dynamic_update_slice(n_all, ncn[None], (i, 0)),
+            jax.lax.dynamic_update_slice(ov_all, ov[None], (i, 0)),
+        )
+
+    ord0 = jnp.zeros((nch, row_chunk, kx), jnp.int32)
+    n0 = jnp.zeros((nch, row_chunk), jnp.int32)
+    ov0 = jnp.zeros((nch, row_chunk), bool)
+    order, n_cand, over = jax.lax.fori_loop(
+        0, n_chunks, body, (ord0, n0, ov0)
+    )
+    return (
+        order.reshape(-1, kx)[:nb],
+        n_cand.reshape(-1)[:nb],
+        over.reshape(-1)[:nb],
+    )
+
+
+def _build_pairs(accel, order, n_cand, over, cap, tile_blocks, tile_chunk,
+                 tile_group=1):
+    """Candidate tables -> cluster-major padded pair slots (flat domain).
+
+    Pair p lives at flat index block*cap + k (k-th candidate of its
+    block), so its owner is p // cap — COMPUTED, never gathered. One
+    lax.sort by cluster id (payload = flat pair index) produces the
+    cluster-major order; each cluster's pair list is padded to whole
+    tiles of `tile_blocks` entries — or to `tile_group`-tile runs when
+    the Pallas sweep consumes the table (its grid steps process
+    tile_group tiles sharing ONE cluster, so a cluster run must never
+    straddle a group). All per-slot index math happens chunk-locally
+    inside the sweep loop, so nothing here scales with the static bound
+    except the sort itself.
+
+    order [nb, kx]: ascending candidate cluster ids per block (garbage
+    past n_cand slots); over: blocks completing via the fallback.
+
+    Returns a dict of index arrays; shapes static, live counts dynamic.
+    """
+    nb = order.shape[0]
+    c = accel.num_clusters
+    tb = tile_blocks
+
+    if cap > order.shape[1]:
+        order = jnp.pad(order, ((0, 0), (0, cap - order.shape[1])),
+                        constant_values=c - 1)
 
     # Flat pair keys: cid for live pairs, sentinel c for dead slots.
     livek = jnp.arange(cap, dtype=jnp.int32)[None, :] < n_cand[:, None]
@@ -424,7 +578,7 @@ def _run(
     accel, origins, directions, t_min, t_max, *,
     block, cap, tile_blocks, row_chunk, tile_chunk,
     sort, sort_mode, fallback_block, fallback_compact, want_tri,
-    use_pallas=False, interpret=False,
+    use_pallas=False, interpret=False, levels=0, super_cap=48,
 ):
     n = origins.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -438,16 +592,29 @@ def _run(
     if sort:
         n_live = jnp.sum((t_max >= 0.0).astype(jnp.int32))
         live_blocks = -(-n_live // block)
-    cand, n_cand = _ray_masks(
-        accel, o_blk, d_blk, tm_blk, t_min, row_chunk,
-        live_blocks=live_blocks,
-    )
+    if levels == 0:
+        # Auto: the flat [rows, C] cull pays while C is small; past ~2048
+        # clusters the 2-level descent keeps the cull linear in rays.
+        levels = 2 if accel.num_clusters > 2048 else 1
+    if levels == 2:
+        order, n_cand, over = _block_candidates_2level(
+            accel, o_blk, d_blk, tm_blk, t_min, cap, row_chunk, super_cap,
+            live_blocks=live_blocks,
+        )
+    else:
+        cand, n_cand = _ray_masks(
+            accel, o_blk, d_blk, tm_blk, t_min, row_chunk,
+            live_blocks=live_blocks,
+        )
+        order, n_cand, over = _extract_order_flat(
+            accel, cand, n_cand, cap, live_blocks=live_blocks,
+            row_chunk=row_chunk,
+        )
     tile_group = 1
     if use_pallas:
         from path_tracer_ai_tpu.accel.pallas_ctiles import GROUP as tile_group
-    pairs = _build_pairs(accel, cand, n_cand, cap, tile_blocks, tile_chunk,
-                         live_blocks=live_blocks, row_chunk=row_chunk,
-                         tile_group=tile_group)
+    pairs = _build_pairs(accel, order, n_cand, over, cap, tile_blocks,
+                         tile_chunk, tile_group=tile_group)
     blk_res = _sweep_resolve(
         accel, pairs, o_blk, d_blk, tm_blk, t_min,
         cap, tile_blocks, tile_chunk, want_tri,
@@ -474,6 +641,7 @@ def _run(
         "block", "cap", "tile_blocks", "row_chunk",
         "tile_chunk", "sort", "sort_mode", "fallback_block",
         "fallback_compact", "use_pallas", "interpret",
+        "levels", "super_cap",
     ),
 )
 def closest_hit_ctiles(
@@ -493,6 +661,8 @@ def closest_hit_ctiles(
     fallback_compact: int = 1 << 13,
     use_pallas: bool = False,
     interpret: bool = False,
+    levels: int = 0,
+    super_cap: int = 48,
 ) -> PacketHit:
     """Closest hit via cluster-major tiles; exact for every ray."""
     best_t, best_tri = _run(
@@ -502,6 +672,7 @@ def closest_hit_ctiles(
         sort=sort, sort_mode=sort_mode, fallback_block=fallback_block,
         fallback_compact=fallback_compact, want_tri=True,
         use_pallas=use_pallas, interpret=interpret,
+        levels=levels, super_cap=super_cap,
     )
     hit = jnp.isfinite(best_t)
     return PacketHit(hit=hit, t=best_t, tri=jnp.where(hit, best_tri, -1))
@@ -514,6 +685,7 @@ def closest_hit_ctiles(
         "block", "cap", "tile_blocks", "row_chunk",
         "tile_chunk", "sort", "sort_mode", "fallback_block",
         "fallback_compact", "use_pallas", "interpret",
+        "levels", "super_cap",
     ),
 )
 def any_hit_ctiles(
@@ -533,6 +705,8 @@ def any_hit_ctiles(
     fallback_compact: int = 1 << 13,
     use_pallas: bool = False,
     interpret: bool = False,
+    levels: int = 0,
+    super_cap: int = 48,
 ) -> jnp.ndarray:
     """Occlusion query via cluster-major tiles; exact for every ray."""
     (occ,) = _run(
@@ -542,5 +716,6 @@ def any_hit_ctiles(
         sort=sort, sort_mode=sort_mode, fallback_block=fallback_block,
         fallback_compact=fallback_compact, want_tri=False,
         use_pallas=use_pallas, interpret=interpret,
+        levels=levels, super_cap=super_cap,
     )
     return occ

@@ -38,6 +38,11 @@ import jax
 
 if smoke:
     jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # noqa: BLE001
+    pass
 
 import jax.numpy as jnp
 import numpy as np

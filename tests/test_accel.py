@@ -475,6 +475,39 @@ class TestCtilesTraversal:
         self._check(tris, accel, o, d, sort=False)
         self._check(tris, accel, o, d, sort_mode="dir")
 
+    def test_2level_cull_matches_bruteforce(self, rng):
+        """levels=2: supercluster shortlist + per-ray child slab — exact."""
+        tris = random_soup(rng, 900)
+        accel = build_clusters(tris, cluster_size=8, super_size=4)
+        o, d = random_rays(rng, 256)
+        self._check(tris, accel, o, d, levels=2, super_cap=16, cap=32)
+
+    def test_2level_cull_dead_lanes_and_overflow(self, rng):
+        """levels=2 with tight super_cap: overflow blocks complete exactly
+        via the fallback; dead lanes stay dead."""
+        tris = random_soup(rng, 700, spread=2.0)
+        accel = build_clusters(tris, cluster_size=8, super_size=4)
+        o, d = random_rays(rng, 192, spread=3.0)
+        tmax = rng.uniform(0.3, 12.0, 192).astype(np.float32)
+        tmax[::5] = -1.0
+        self._check(tris, accel, o, d, t_max=jnp.asarray(tmax),
+                    levels=2, super_cap=4, cap=16)
+
+    def test_2level_matches_flat_bitwise(self, rng):
+        """levels=2 must produce the same candidate coverage as the flat
+        cull — (t, tri) outputs bit-identical on non-overflow rays."""
+        from path_tracer_ai_tpu.accel.ctiles import closest_hit_ctiles
+
+        tris = random_soup(rng, 600)
+        accel = build_clusters(tris, cluster_size=16, super_size=4)
+        o, d = random_rays(rng, 256)
+        kw = dict(row_chunk=32, tile_chunk=4, cap=48)
+        h1 = closest_hit_ctiles(accel, o, d, 1e-3, np.inf, levels=1, **kw)
+        h2 = closest_hit_ctiles(accel, o, d, 1e-3, np.inf, levels=2,
+                                super_cap=accel.num_supers, **kw)
+        np.testing.assert_array_equal(np.asarray(h1.t), np.asarray(h2.t))
+        np.testing.assert_array_equal(np.asarray(h1.tri), np.asarray(h2.tri))
+
     def test_coplanar_cluster_flat_aabb(self, rng):
         cells = []
         for i in range(8):
