@@ -387,8 +387,37 @@ def _build_pairs(accel, order, n_cand, over, cap, tile_blocks, tile_chunk,
     )
     slot_cid = jax.lax.cummax(slot_cid)                       # [ni_pad]
 
+    # slot_pair [ni_pad]: flat pair id per padded slot (-1 = dead padding),
+    # built by ONE chunked scatter over the LIVE sorted prefix (dead keys
+    # sort last). The sweep previously resolved slot -> pair with three
+    # [c]-table gathers PER SLOT PER PASS (pbase/counts lookups + perm) —
+    # at ~7 cycles/row that indirection cost more than the MT it fed;
+    # here it is paid once, at pair (not slot x passes) granularity.
+    n_live_pairs = base[c]                                    # dynamic
+    pair_chunk = min(1 << 17, n_pairs)
+    n_pc = -(-n_pairs // pair_chunk)
+    pad_q = n_pc * pair_chunk - n_pairs
+    key_s = jnp.pad(key_sorted, (0, pad_q), constant_values=c)
+    perm_p = jnp.pad(perm, (0, pad_q))
+    n_chunks_p = jnp.minimum(-(-n_live_pairs // pair_chunk), n_pc)
+
+    def pair_body(i, sp):
+        q0 = i * pair_chunk
+        keys = jax.lax.dynamic_slice(key_s, (q0,), (pair_chunk,))
+        prm = jax.lax.dynamic_slice(perm_p, (q0,), (pair_chunk,))
+        qi = q0 + jnp.arange(pair_chunk, dtype=jnp.int32)
+        live = qi < n_live_pairs                              # => keys < c
+        kc = jnp.minimum(keys, c - 1)
+        pos = pbase[kc] + (qi - base[kc])
+        pos = jnp.where(live, pos, ni_pad)                    # drop
+        return sp.at[pos].set(prm, mode="drop")
+
+    slot_pair = jax.lax.fori_loop(
+        0, n_chunks_p, pair_body, jnp.full((ni_pad,), -1, jnp.int32)
+    )
+
     return dict(
-        overflow=over, perm=perm, base=base, counts=counts, pbase=pbase,
+        overflow=over, slot_pair=slot_pair,
         slot_cid=slot_cid, n_slots=n_slots,
     )
 
@@ -426,20 +455,18 @@ def _sweep_resolve(
     n_chunks = -(-n_tiles // tc)                              # dynamic
 
     slot_cid = pairs["slot_cid"]
-    perm = pairs["perm"]
-    base, counts, pbase = pairs["base"], pairs["counts"], pairs["pbase"]
-    n_pairs = perm.shape[0]
+    slot_pair = pairs["slot_pair"]
 
     def chunk_indices(start):
-        """Chunk-local slot -> (cid [tc*tb], blk [tc*tb], live [tc*tb])."""
+        """Chunk-local slot -> (cid [tc*tb], blk [tc*tb], live [tc*tb]).
+
+        Pure slices of the precomputed slot tables — zero per-slot
+        gathers (the table is built once in _build_pairs)."""
         sc = jax.lax.dynamic_slice(slot_cid, (start * tb,), (tc * tb,))
-        p_idx = start * tb + jnp.arange(tc * tb, dtype=jnp.int32)
-        rank = p_idx - pbase[sc]
-        live = (rank < counts[sc]) & (p_idx < pairs["n_slots"])
-        q = jnp.clip(base[sc] + rank, 0, n_pairs - 1)
-        pair = perm[q]
-        blk = pair // cap
-        return sc, jnp.where(live, blk, nb), live
+        sp = jax.lax.dynamic_slice(slot_pair, (start * tb,), (tc * tb,))
+        live = sp >= 0
+        blk = jnp.where(live, sp // cap, nb)
+        return sc, blk, live
 
     def mt_chunk(start):
         sc, blk, live = chunk_indices(start)

@@ -26,6 +26,7 @@ tests pin down.
 from __future__ import annotations
 
 import math
+import os
 import time
 import functools
 from functools import partial
@@ -47,6 +48,10 @@ from path_tracer_ai_tpu.scene.camera import Camera, get_rays
 from path_tracer_ai_tpu.utils.logging import get_logger, render_banner
 
 log = get_logger(__name__)
+
+# PT_BOUNCE_TIMING=1: block + log wall time per bounce step (diagnosis only —
+# blocking defeats dispatch pipelining, so never enable for benchmarks).
+_BOUNCE_TIMING = os.environ.get("PT_BOUNCE_TIMING") == "1"
 
 # worklist-backend tuning (module-level so perf probes can retune without
 # editing code; values are static jit args, so changing them recompiles).
@@ -494,10 +499,17 @@ def _render_wave(
                 o, d, beta, radiance, keys, alive = _compact_exe(bucket)(
                     o, d, beta, radiance, keys, idx, jnp.int32(n_live)
                 )
+        if _BOUNCE_TIMING:
+            jax.block_until_ready((o, d, beta, radiance))
+            t_b = time.perf_counter()
         o, d, beta, radiance, alive, nc_i, ns_i = bounce(
             scene, accel, o, d, beta, radiance, alive, keys,
             jnp.int32(depth),
         )
+        if _BOUNCE_TIMING:
+            jax.block_until_ready((o, d, beta, radiance))
+            log.info("bounce %d: %d lanes, %.1f ms", depth, o.shape[0],
+                     (time.perf_counter() - t_b) * 1e3)
         ncs.append(nc_i)
         nss.append(ns_i)
 

@@ -56,6 +56,58 @@ def test_render_tiled_wrapper(scene, single_device_image):
     np.testing.assert_allclose(img, single_device_image, atol=1e-4)
 
 
+@pytest.mark.parametrize("shape", [(8, 1), (2, 4)])
+def test_wavefront_scheduler_matches_single_device(scene, single_device_image,
+                                                   shape):
+    """The host-stepped sharded scheduler (per-shard compaction, psum over
+    samples) must reproduce the single-chip image and its exact ray count."""
+    from path_tracer_ai_tpu.parallel.mesh import render_sharded_wavefront
+
+    mesh = make_mesh(*shape)
+    stats = wavefront.RenderStats()
+    img = render_sharded_wavefront(
+        scene, default_camera(), SETTINGS, mesh, block_size=64,
+        pix_chunk=1 << 9, stats=stats, compact_min_bucket=64,
+    )
+    np.testing.assert_allclose(img, single_device_image, atol=1e-4)
+    assert stats.total_rays > 0
+
+
+def test_wavefront_scheduler_checkpoint_resume(scene, tmp_path, monkeypatch):
+    """Sharded per-pass checkpointing: resuming from the first pass's
+    intermediate checkpoint must reproduce the uninterrupted image."""
+    from path_tracer_ai_tpu.io import checkpoint as ckpt_io
+    from path_tracer_ai_tpu.parallel import mesh as mesh_mod
+
+    mesh = make_mesh(2, 2)
+    ck = str(tmp_path / "mesh.ckpt")
+
+    saves = []
+    orig_save = ckpt_io.save
+
+    def record_save(path, acc, cnt, next_sample, fp):
+        saves.append((np.array(acc), np.array(cnt), next_sample, fp))
+        orig_save(path, acc, cnt, next_sample, fp)
+
+    monkeypatch.setattr(ckpt_io, "save", record_save)
+    img_full = mesh_mod.render_sharded_wavefront(
+        scene, default_camera(), SETTINGS, mesh, block_size=64,
+        pix_chunk=1 << 9, checkpoint_path=ck, checkpoint_every=1,
+        compact_min_bucket=64,
+    )
+    monkeypatch.setattr(ckpt_io, "save", orig_save)
+    assert len(saves) >= 2  # one per pass (spp=4, samples axis=2 -> 2 passes)
+    # Rewind to the FIRST pass's checkpoint (simulated interruption).
+    acc, cnt, next_sample, fp = saves[0]
+    assert next_sample < SETTINGS.samples_per_pixel
+    ckpt_io.save(ck, acc, cnt, next_sample, fp)
+    img_resumed = mesh_mod.render_sharded_wavefront(
+        scene, default_camera(), SETTINGS, mesh, block_size=64,
+        pix_chunk=1 << 9, checkpoint_path=ck, compact_min_bucket=64,
+    )
+    np.testing.assert_allclose(img_resumed, img_full, atol=1e-6)
+
+
 def test_output_shards_live_on_distinct_devices(scene):
     """The framebuffer really is sharded: check the mesh covers 8 devices."""
     mesh = make_mesh(8, 1)
