@@ -115,9 +115,23 @@ def build_clusters(
     fixed-size runs along the curve make long loose boxes that inflate
     per-ray candidate counts; kept for comparison).
     """
+    import time as _time
+
+    t0 = _time.perf_counter()
     v0 = np.asarray(tris.v0, np.float32)
     v1 = np.asarray(tris.v1, np.float32)
     v2 = np.asarray(tris.v2, np.float32)
+    d2h_s = _time.perf_counter() - t0
+    if d2h_s > 1.0:
+        # The axon tunnel's FIRST device->host pull in a process has been
+        # measured at 84-151s (subsequent pulls are ~0.1s); surface it so
+        # build timers aren't misread as accel-build cost.
+        from path_tracer_ai_tpu.utils.logging import get_logger
+
+        get_logger(__name__).warning(
+            "device->host triangle pull took %.1fs (tunnel first-transfer "
+            "cost, not accel build)", d2h_s,
+        )
     t = v0.shape[0]
     if t == 0:
         raise ValueError("cannot build acceleration structure over 0 triangles")

@@ -193,10 +193,15 @@ def packet_backend(
             # In-render shadow waves overflow the worklist's conservative
             # cap on ~5% of rays, and its compact fallback costs its STATIC
             # size every wave (the e2e cliff measured in round 2). The
-            # packet cascade has no such cliff.
+            # packet cascade has no such cliff. okw may override
+            # block_size/group_size (probe r3b: g2 measured +11% on
+            # shadow waves vs the g8 default).
+            pkw = dict(block_size=okw.get("block_size", block_size),
+                       group_size=okw.get("group_size", 8))
+
             def occlude(o, d, t_max):
                 return traverse.any_hit_packets(
-                    accel, o, d, RAY_TMIN, t_max, block_size=block_size
+                    accel, o, d, RAY_TMIN, t_max, **pkw
                 )
         elif hybrid_eng == "ctiles":
             # Per-ray-exact OR-union shadow path (round-3 lever: shadows
@@ -773,13 +778,11 @@ def render(
     if tile_devices:
         from path_tracer_ai_tpu.parallel.mesh import render_tiled
 
-        if checkpoint_path or scheduler != "wave":
+        if scheduler != "wave":
             log.warning(
-                "tile_devices path supports neither checkpointing nor the "
-                "%r scheduler; rendering without them", scheduler,
+                "tile_devices path always uses the host-stepped wave "
+                "scheduler (requested %r)", scheduler,
             )
-        if stats is not None:
-            log.warning("tile_devices path does not populate RenderStats")
         if settings.seed is None:
             # Entropy-seed exactly like the single-device path below (the
             # sharded path treats seed=None as 0 otherwise).
@@ -788,7 +791,9 @@ def render(
             )
         return render_tiled(
             scene, camera, settings, n_devices=tile_devices,
-            accel=accel, block_size=block_size,
+            accel=accel, block_size=block_size, backend=backend,
+            checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+            stats=stats,
         )
 
     w, h, spp = settings.width, settings.height, settings.samples_per_pixel

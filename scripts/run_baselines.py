@@ -1,7 +1,9 @@
 """Run the five BASELINE.json configs end-to-end; emit RESULTS.md + JSON.
 
-ONE TPU process (tunnel hazard rules). Writes results/results_r2.json and
-RESULTS.md at the repo root.
+ONE TPU process (tunnel hazard rules). Writes results/results_r3.json and
+RESULTS.md at the repo root. All throughput rows are WARM: a same-shape
+warmup render compiles every executable first and per-config compile time
+is recorded separately (warm_s).
 
 Methodology notes (BASELINE "RMSE vs CPU reference" <1% criterion):
 - The oracle engine IS the CPU-reference semantics (SURVEY.md §2.10), but it
@@ -39,9 +41,18 @@ def main():
     ap.add_argument("--skip", nargs="*", default=[])
     ap.add_argument("--scale", type=float, default=1.0,
                     help="global spp scale for smoke runs")
+    ap.add_argument("--spp-increment", type=int, default=16,
+                    help="4k progressive: samples added this session")
+    ap.add_argument("--cpu", action="store_true",
+                    help="smoke mode: force the CPU backend (NEVER run this "
+                         "script against the TPU while another TPU client "
+                         "is alive — tunnel wedge hazard, see CLAUDE.md)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     log(f"devices: {jax.devices()}")
@@ -53,7 +64,7 @@ def main():
     results = {}
     # Merge with a previous partial run (e.g. re-running the fast configs
     # warm after a methodology fix without repeating gpu-parity/4k).
-    prev = "/root/repo/results/results_r2.json"
+    prev = "/root/repo/results/results_r3.json"
     if os.path.exists(prev):
         with open(prev) as f:
             results.update(json.load(f))
@@ -78,7 +89,8 @@ def main():
         t0 = time.perf_counter()
         wavefront.render(scene, camera, warm, wave_size=1 << 20,
                          block_size=64)
-        log(f"[{name}] warmup {time.perf_counter() - t0:.1f}s")
+        warm_s = time.perf_counter() - t0
+        log(f"[{name}] warmup {warm_s:.1f}s")
         stats = wavefront.RenderStats()
         t0 = time.perf_counter()
         img = wavefront.render(scene, camera, cfg.settings.replace(seed=1),
@@ -89,7 +101,8 @@ def main():
             name, width=cfg.settings.width, height=cfg.settings.height,
             spp=cfg.settings.samples_per_pixel,
             bounces=cfg.settings.max_bounces,
-            wall_s=round(wall, 1), mrays=round(stats.mrays_per_s, 2),
+            wall_s=round(wall, 1), warm_compile_s=round(warm_s, 1),
+            timing="warm", mrays=round(stats.mrays_per_s, 2),
             total_mrays=round(stats.total_rays / 1e6, 1),
         )
 
@@ -143,54 +156,95 @@ def main():
         record("blob_cross_seed_rmse_512", config="512x288@100spp/5b",
                rmse_pct=round(100 * benchmarks.rmse(a, b), 3))
 
-    # ---- 4k progressive with checkpoint/resume ----------------------------
+    # ---- the literal <1% RMSE row (BASELINE.md accuracy criterion) --------
+    # Cross-seed RMSE between two unbiased estimators falls as 1/sqrt(spp):
+    # the 64-spp cornell floor is ~14.1%, so ~32k spp puts the floor at
+    # ~0.6% — below the 1% letter of the criterion. A true brute-force
+    # oracle render at this spp is feasible because cornell is 36 triangles.
+    if "rmse1pct" not in args.skip:
+        from path_tracer_ai_tpu.config import RenderSettings
+        from path_tracer_ai_tpu.scene.cornell import build_cornell_scene
+
+        scene_c, cam_c = build_cornell_scene()
+        spp_hi = max(4, int(32768 * args.scale))
+        s_hi = RenderSettings(96, 96, spp_hi, 5, seed=21)
+        t0 = time.perf_counter()
+        img_w = wavefront.render(scene_c, cam_c, s_hi, wave_size=1 << 20,
+                                 block_size=64)
+        w_wall = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        img_o = oracle.render(scene_c, cam_c, s_hi.replace(seed=22))
+        o_wall = time.perf_counter() - t0
+        r = benchmarks.rmse(img_w, img_o)
+        record("cornell_rmse_1pct",
+               config=f"96x96@{spp_hi}spp/5b cross-seed",
+               rmse_pct=round(100 * r, 3), passes=bool(r < 0.01),
+               criterion="<1% RMSE vs CPU-reference oracle at equal spp",
+               wavefront_wall_s=round(w_wall, 1),
+               oracle_wall_s=round(o_wall, 1))
+
+    # ---- 4k progressive: cumulative spp across SESSIONS ------------------
     if "4k" not in args.skip:
         cfg = benchmarks.get_configs(1.0)["4k"]
         scene, camera = benchmarks.build_config_scene(cfg)
-        # Scaled to fit a single session: 1024 spp -> 16 (documented); the
-        # full-spp run is the same loop for 64x longer.
-        spp = max(1, int(16 * args.scale))
-        s4k = cfg.settings.replace(samples_per_pixel=spp, seed=3)
-        ck = "/tmp/pt_4k.ckpt"
-        if os.path.exists(ck):
-            os.remove(ck)
+        # Full spec is 1024 spp / 16 bounces; each baselines session adds
+        # `--spp-increment` samples, resuming the PERSISTENT checkpoint, so
+        # cumulative spp grows across rounds with a recorded lineage.
+        ck = "/root/repo/results/ckpt_4k.npz"
+        lineage = results.get("4k", {}).get("lineage", [])
+        spp_done = int(results.get("4k", {}).get("spp_cumulative", 0))
+        inc = max(1, int(args.spp_increment * args.scale))
+        spp_to = spp_done + inc
+        s4k = cfg.settings.replace(samples_per_pixel=spp_to, seed=3)
+        fp_now = ckpt_io.fingerprint(s4k, scene.triangles.count, 3)
+        if spp_done > 0 and os.path.exists(ck):
+            # Rebind the stored accumulator to this session's target spp
+            # (the fingerprint pins geometry/resolution/seed; spp grows).
+            prev_fp = ckpt_io.fingerprint(
+                s4k.replace(samples_per_pixel=spp_done),
+                scene.triangles.count, 3)
+            loaded = ckpt_io.load(ck, prev_fp)
+            if loaded is not None:
+                acc, cnt, next_s = loaded
+                ckpt_io.save(ck, acc, cnt, next_s, fp_now)
+            else:
+                log("[4k] WARNING: lineage checkpoint missing/stale; "
+                    "restarting accumulation")
+                spp_done = 0
+                lineage = []
         stats = wavefront.RenderStats()
         t0 = time.perf_counter()
-        # phase 1: render half the samples, checkpointing every pass
-        s_half = s4k.replace(samples_per_pixel=spp // 2)
-        wavefront.render(scene, camera, s_half, stats=stats,
-                         wave_size=1 << 20, block_size=64,
-                         checkpoint_path=ck, checkpoint_every=1)
-        # "interrupt": rewrite the checkpoint under the full-run fingerprint
-        fp_half = ckpt_io.fingerprint(s_half, scene.triangles.count, 3)
-        acc, cnt, next_s = ckpt_io.load(ck, fp_half)
-        ckpt_io.save(ck, acc, cnt, next_s,
-                     ckpt_io.fingerprint(s4k, scene.triangles.count, 3))
-        # phase 2: resume to the full count
         img = wavefront.render(scene, camera, s4k, stats=stats,
                                wave_size=1 << 20, block_size=64,
                                checkpoint_path=ck, checkpoint_every=1)
         wall = time.perf_counter() - t0
         assert np.isfinite(img).all()
-        record("4k", width=3840, height=2160, spp=spp,
-               spp_full_spec=1024, bounces=s4k.max_bounces,
-               resumed_from_sample=int(next_s),
+        lineage = list(lineage) + [dict(
+            spp_from=spp_done, spp_to=spp_to, wall_s=round(wall, 1),
+            mrays=round(stats.mrays_per_s, 2),
+        )]
+        record("4k", width=3840, height=2160, spp=spp_to,
+               spp_cumulative=spp_to, spp_full_spec=1024,
+               bounces=s4k.max_bounces, timing="warm-resumed",
                wall_s=round(wall, 1), mrays=round(stats.mrays_per_s, 2),
                total_mrays=round(stats.total_rays / 1e6, 1),
-               note="spp scaled 1024->16 to fit one session; progressive "
-                    "checkpoint/resume exercised mid-run; multi-device "
-                    "tiling validated on the virtual mesh (tests/test_mesh)")
+               lineage=lineage,
+               note="progressive accumulation across sessions via the "
+                    "persistent checkpoint (results/ckpt_4k.npz); the "
+                    "full-spec 1024spp run is the same loop continued; "
+                    "multi-device tiling validated on the virtual mesh")
 
     # ---- write artifacts ----------------------------------------------------
     os.makedirs("/root/repo/results", exist_ok=True)
-    with open("/root/repo/results/results_r2.json", "w") as f:
+    with open("/root/repo/results/results_r3.json", "w") as f:
         json.dump(results, f, indent=1)
 
     lines = [
-        "# RESULTS — BASELINE configs (round 2, v5e single chip)",
+        "# RESULTS — BASELINE configs (round 3, v5e single chip)",
         "",
         "Produced by `scripts/run_baselines.py` in one TPU session; raw",
-        "values in `results/results_r2.json`. RMSE methodology: see the",
+        "values in `results/results_r3.json`. All rows WARM (compile excluded;",
+        "warm_compile_s in the JSON). RMSE methodology: see the",
         "script docstring (brute-force oracle cost bounds what can be",
         "compared at full spec; three-way evidence instead).",
         "",
@@ -209,14 +263,20 @@ def main():
                   f"{rr.get('noise_floor_pct', '?')}% "
                   f"(at floor: {rr['passes']})")
         elif name == "4k":
-            ev = f"resumed at sample {r.get('resumed_from_sample')}; " \
-                 f"spp scaled (note in JSON)"
+            ev = (f"cumulative {r.get('spp_cumulative')}/1024 spp across "
+                  f"{len(r.get('lineage', []))} sessions")
         elif "blob_same_seed_agreement" in results:
             ag = results["blob_same_seed_agreement"]
             ev = f"same-seed oracle agreement max {ag['max_abs']:.2e}"
         lines.append(
             f"| {name} | {spec} | {r['wall_s']}s | {r['mrays']} | {ev} |"
         )
+    if "cornell_rmse_1pct" in results:
+        rr = results["cornell_rmse_1pct"]
+        lines += ["",
+                  f"**<1% RMSE criterion (literal):** cornell "
+                  f"{rr['config']}: wavefront-vs-oracle RMSE "
+                  f"{rr['rmse_pct']}% — passes: {rr['passes']}."]
     if "blob_cross_seed_rmse_512" in results:
         rr = results["blob_cross_seed_rmse_512"]
         lines += ["",
