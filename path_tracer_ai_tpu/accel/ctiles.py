@@ -540,67 +540,64 @@ def _sweep_resolve(
             )
             return blk, ct, tri_min
 
-    # RESOLVE, block-major: each live slot's per-slot result is
-    # scatter-SET into its ORIGINAL flat pair position (slot_pair's value
-    # IS blk*cap + k — unique per slot), then the per-block reduction is a
-    # DENSE [nb, cap, b] min. This replaces the old two-pass scatter-min
-    # resolve (per-block t min, then a second full pass for the (t, tri)
-    # tie rule): scatter-set rows cost ~10.5ns vs ~18ns for scatter-min on
-    # v5e, and the tie rule folds into the dense reduce for free. Dead
-    # slots map to nb*cap — positive out-of-bounds, which mode="drop"
-    # discards (negative indices would WRAP NumPy-style and corrupt the
-    # last row).
-    def slot_positions(start):
-        sp = jax.lax.dynamic_slice(slot_pair, (start * tb,), (tc * tb,))
-        return jnp.where(sp >= 0, sp, nb * cap)
-
     if not want_tri:
-        occ0 = jnp.zeros((nb * cap, b), bool)
+        occ0 = jnp.zeros((nb, b), jnp.int32)
 
         if use_pallas:
 
-            def body(i, occ_flat):
-                start = i * tc
-                _blk, _ct, tri_min = slot_chunk(start)
+            def body(i, occ_blk):
+                blk, _ct, tri_min = slot_chunk(i * tc)
                 # tri_min != I32_MAX iff any slot test passed — exact
                 # any(ok) even for (pathological) t = +inf hits.
                 occ_c = (tri_min != I32_MAX).reshape(tc * tb, b)
-                return occ_flat.at[slot_positions(start)].set(
-                    occ_c, mode="drop")
+                return occ_blk.at[blk].max(occ_c.astype(jnp.int32),
+                                           mode="drop")
         else:
 
-            def body(i, occ_flat):
-                start = i * tc
-                _, _blk, tt, ok, _ = mt_chunk(start)
+            def body(i, occ_blk):
+                _, blk, tt, ok, _ = mt_chunk(i * tc)
                 occ_c = jnp.any(ok, axis=-1).reshape(tc * tb, b)
-                return occ_flat.at[slot_positions(start)].set(
-                    occ_c, mode="drop")
+                return occ_blk.at[blk].max(occ_c.astype(jnp.int32),
+                                           mode="drop")
 
-        occ_flat = jax.lax.fori_loop(0, n_chunks, body, occ0)
-        return (jnp.any(occ_flat.reshape(nb, cap, b), axis=1),)
+        occ_blk = jax.lax.fori_loop(0, n_chunks, body, occ0)
+        return (occ_blk > 0,)
 
-    t_flat0 = jnp.full((nb * cap, b), jnp.inf, jnp.float32)
-    tri_flat0 = jnp.full((nb * cap, b), I32_MAX, jnp.int32)
+    # Pass 1: per-slot (t, tri) stored; per-block t scatter-min'd.
+    t_pad0 = jnp.full((nt, t_lanes), jnp.inf, jnp.float32)
+    tri_pad0 = jnp.full((nt, t_lanes), I32_MAX, jnp.int32)
+    t_blk0 = jnp.full((nb, b), jnp.inf, jnp.float32)
 
     def body1(i, carry):
-        t_flat, tri_flat = carry
+        t_pad, tri_pad, t_blk = carry
         start = i * tc
-        _blk, ct, tri_min = slot_chunk(start)
-        pos = slot_positions(start)
-        t_flat = t_flat.at[pos].set(ct.reshape(tc * tb, b), mode="drop")
-        tri_flat = tri_flat.at[pos].set(
-            tri_min.reshape(tc * tb, b), mode="drop")
-        return t_flat, tri_flat
+        blk, ct, tri_min = slot_chunk(start)
+        t_blk = t_blk.at[blk].min(ct.reshape(tc * tb, b), mode="drop")
+        t_pad = jax.lax.dynamic_update_slice(t_pad, ct, (start, 0))
+        tri_pad = jax.lax.dynamic_update_slice(tri_pad, tri_min, (start, 0))
+        return t_pad, tri_pad, t_blk
 
-    t_flat, tri_flat = jax.lax.fori_loop(
-        0, n_chunks, body1, (t_flat0, tri_flat0)
+    t_pad, tri_pad, t_blk = jax.lax.fori_loop(
+        0, n_chunks, body1, (t_pad0, tri_pad0, t_blk0)
     )
-    t_k = t_flat.reshape(nb, cap, b)
-    tri_k = tri_flat.reshape(nb, cap, b)
-    t_blk = jnp.min(t_k, axis=1)                              # [nb, b]
-    tri_blk = jnp.min(
-        jnp.where(t_k <= t_blk[:, None, :], tri_k, I32_MAX), axis=1
-    )
+
+    # Pass 2 (MT-free): min tri id among slots achieving the block best.
+    tri_blk0 = jnp.full((nb, b), I32_MAX, jnp.int32)
+
+    def body2(i, tri_blk):
+        start = i * tc
+        _, blk, _ = chunk_indices(start)
+        ct = jax.lax.dynamic_slice(t_pad, (start, 0), (tc, t_lanes))
+        ctri = jax.lax.dynamic_slice(tri_pad, (start, 0), (tc, t_lanes))
+        ct = ct.reshape(tc * tb, b)
+        ctri = ctri.reshape(tc * tb, b)
+        tb_best = t_blk[jnp.minimum(blk, nb - 1)]             # [tc*tb, b]
+        keep = ct <= tb_best
+        return tri_blk.at[blk].min(
+            jnp.where(keep, ctri, I32_MAX), mode="drop"
+        )
+
+    tri_blk = jax.lax.fori_loop(0, n_chunks, body2, tri_blk0)
     return t_blk, tri_blk
 
 
@@ -650,10 +647,14 @@ def _run(
         cap, tile_blocks, tile_chunk, want_tri,
         use_pallas=use_pallas, interpret=interpret,
     )
-    res_u = _unsort(tuple(a.reshape(-1) for a in blk_res), perm, npad, n)
-
+    # ONE _unsort for results + overflow (it builds the inverse
+    # permutation with a [npad] scatter per call — don't pay it twice).
     over_blk = pairs["overflow"][:, None] & jnp.ones((nb, block), bool)
-    (overflow_ray,) = _unsort((over_blk.reshape(-1),), perm, npad, n)
+    unsorted = _unsort(
+        tuple(a.reshape(-1) for a in blk_res) + (over_blk.reshape(-1),),
+        perm, npad, n,
+    )
+    res_u, overflow_ray = unsorted[:-1], unsorted[-1]
     fb = _overflow_fallback(
         accel, origins, directions, t_min, t_max, overflow_ray,
         want_tri=want_tri, compact_cap=fallback_compact,

@@ -188,6 +188,25 @@ emit(probe="exact3",
      tri_mismatch=int(jnp.sum(hp.tri != hx.tri)),
      hit_mismatch=int(jnp.sum(hp.hit != hx.hit)))
 
+# ---- 3b. cluster_size=256: halves every row count (pairs, scatter rows,
+# cull width, sort keys) at ~1.4x dense-test cost — the row-granularity
+# tax (7ns/row) is the governing cost, so this may dominate tuning. ----
+if not smoke:
+    accel256 = build_clusters(scene.triangles, cluster_size=256)
+    for tag, kw in [("xla_s256", dict(KW)),
+                    ("pallas_s256", dict(KW, use_pallas=True))]:
+        dt, cs, out = timeit(lambda: ctiles.closest_hit_ctiles(
+            accel256, ow, dw, RAY_TMIN, tw, **kw))
+        emit(probe="closest3", engine=tag, ms=round(dt * 1e3, 1),
+             mrays=round(live_b / dt / 1e6, 2), compile_s=round(cs, 1))
+        mm = int(jnp.sum(out.tri != hx.tri))
+        emit(probe="exact_s256", engine=tag, tri_mismatch=mm)
+    # shadow at S=256 through the packet cascade
+    dt, cs, _ = timeit(lambda: traverse.any_hit_packets(
+        accel256, osh, dsh, RAY_TMIN, tsh, block_size=64, group_size=2))
+    emit(probe="shadow3", engine="packets256_b64_g2", ms=round(dt * 1e3, 1),
+         mrays=round(live_sh / dt / 1e6, 2))
+
 # ---- 4. shadow: ctiles new resolve + packets g2 ----
 dt, cs, _ = timeit(lambda: traverse.any_hit_packets(
     accel, osh, dsh, RAY_TMIN, tsh, block_size=64, group_size=2))
@@ -215,17 +234,18 @@ settings = RenderSettings(width=W, height=H, samples_per_pixel=2,
                           max_bounces=5, seed=0)
 
 
-def e2e(tag, closest_kw, occ_kw, timed_bounces=False):
+def e2e(tag, closest_kw, occ_kw, timed_bounces=False, use_accel=None):
+    acc_ = accel if use_accel is None else use_accel
     wavefront.CTILES_CLOSEST_KW = closest_kw
     wavefront.HYBRID_OCCLUDE_KW = occ_kw
     wavefront.clear_executable_caches()
     t0 = time.perf_counter()
-    wavefront.render(scene, cam, settings, accel=accel, block_size=64,
+    wavefront.render(scene, cam, settings, accel=acc_, block_size=64,
                      wave_size=1 << (14 if smoke else 20), backend="hybrid")
     warm_s = time.perf_counter() - t0
     stats = wavefront.RenderStats()
     t0 = time.perf_counter()
-    img = wavefront.render(scene, cam, settings, accel=accel, stats=stats,
+    img = wavefront.render(scene, cam, settings, accel=acc_, stats=stats,
                            block_size=64,
                            wave_size=1 << (14 if smoke else 20),
                            backend="hybrid")
@@ -236,7 +256,7 @@ def e2e(tag, closest_kw, occ_kw, timed_bounces=False):
         log(f"=== per-bounce timing: {tag} ===")
         wavefront._BOUNCE_TIMING = True
         try:
-            wavefront.render(scene, cam, settings, accel=accel,
+            wavefront.render(scene, cam, settings, accel=acc_,
                              block_size=64,
                              wave_size=1 << (14 if smoke else 20),
                              backend="hybrid")
@@ -253,4 +273,9 @@ img_x = e2e("setres_xla_packetg2", xla_closest, shadow_g2,
 img_a = e2e("setres_pallas_packetg2", pal_closest, shadow_g2,
             timed_bounces=not smoke)
 emit(probe="e2e_same_image", identical=bool(np.array_equal(img_x, img_a)))
+if not smoke:
+    img_s = e2e("setres_xla_s256_packetg2", xla_closest, shadow_g2,
+                use_accel=accel256)
+    emit(probe="e2e_same_image_s256",
+         identical=bool(np.array_equal(img_x, img_s)))
 log("probe C complete")
