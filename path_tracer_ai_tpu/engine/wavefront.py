@@ -66,6 +66,13 @@ KSLOTS_OCCLUDE_KW = dict(k_supers=6, k_clusters=8)
 # size every wave it runs (probe J: 2^17 cost ~360ms for 19 overflow
 # blocks). cap=48 >> p99 union, so overflow populations are tiny.
 CTILES_CLOSEST_KW = dict(cap=48, tile_chunk=2048, fallback_compact=1 << 13)
+# Closest waves and shadow waves want DIFFERENT cluster sizes (probe r3c:
+# S=256 is -17% on closest — halved row counts beat the extra dense tests
+# — but +28% on the packet-cascade shadow). When set, render() builds a
+# second accel at this size FROM THE ORIGINAL TRIANGLES (so e1/e2 stay
+# bit-identical to the oracle's) and the hybrid backend routes closest
+# waves through it.
+HYBRID_CLOSEST_CLUSTER_SIZE: Optional[int] = None
 # lane_major: shadow waves arrive with each lane's 4 same-origin rays
 # consecutive; block=4 makes one block per lane (shared-origin union cull).
 CTILES_OCCLUDE_KW = dict(lane_major=True, block=4, sort=False)
@@ -89,6 +96,7 @@ def packet_backend(
     use_pallas: bool = False,
     interpret: bool = False,
     backend: Optional[str] = None,
+    accel_closest: Optional[ClusterAccel] = None,
 ):
     """Traversal backend over the cluster structure.
 
@@ -182,9 +190,11 @@ def packet_backend(
         # round-2 worklist e2e regression).
         from path_tracer_ai_tpu.accel import ctiles, worklist
 
+        accel_cl = accel_closest if accel_closest is not None else accel
+
         def closest(o, d, t_min, t_max):
             return ctiles.closest_hit_ctiles(
-                accel, o, d, RAY_TMIN, t_max, **CTILES_CLOSEST_KW
+                accel_cl, o, d, RAY_TMIN, t_max, **CTILES_CLOSEST_KW
             )
 
         hybrid_eng = HYBRID_OCCLUDE_KW.get("engine")
@@ -394,9 +404,11 @@ def _bounce_exe(block_size, use_pallas, backend):
     traced scalar), and gives per-bounce timing for free.
     """
 
-    def one_bounce(scene, accel, o, d, beta, radiance, alive, keys, depth):
+    def one_bounce(scene, accel, accel_c, o, d, beta, radiance, alive,
+                   keys, depth):
         closest, occlude = packet_backend(
-            accel, block_size, use_pallas=use_pallas, backend=backend
+            accel, block_size, use_pallas=use_pallas, backend=backend,
+            accel_closest=accel_c,
         )
         return tracer.bounce_step(
             scene, closest, occlude, o, d, beta, radiance, alive, keys,
@@ -445,7 +457,7 @@ def _compact_bucket(n_live: int) -> int:
 
 
 def _render_wave(
-    scene, accel, camera, base_key, xs, ys, s0, spp, **statics
+    scene, accel, camera, base_key, xs, ys, s0, spp, accel_c=None, **statics
 ):
     max_bounces = statics["max_bounces"]
     block_size = statics["block_size"]
@@ -465,6 +477,8 @@ def _render_wave(
     radiance = jnp.zeros((n, 3), jnp.float32)
     alive = jnp.ones((n,), bool)
     bounce = _bounce_exe(block_size, use_pallas, backend)
+    if accel_c is None:
+        accel_c = accel
     ncs, nss = [], []
 
     # LIVE-LANE COMPACTION (the wavefront "compact" stage, SURVEY §7.5):
@@ -508,7 +522,7 @@ def _render_wave(
             jax.block_until_ready((o, d, beta, radiance))
             t_b = time.perf_counter()
         o, d, beta, radiance, alive, nc_i, ns_i = bounce(
-            scene, accel, o, d, beta, radiance, alive, keys,
+            scene, accel, accel_c, o, d, beta, radiance, alive, keys,
             jnp.int32(depth),
         )
         if _BOUNCE_TIMING:
@@ -825,9 +839,30 @@ def render(
     if use_pallas is None:
         use_pallas = default_use_pallas()
 
+    # Dual-accel hybrid: closest waves at a different cluster size
+    # (HYBRID_CLOSEST_CLUSTER_SIZE), built from the ORIGINAL triangles so
+    # edge vectors stay bit-identical to the oracle's.
+    accel_c = None
+    eff_backend = backend if backend is not None else default_backend(accel)
+    if (
+        eff_backend == "hybrid"
+        and HYBRID_CLOSEST_CLUSTER_SIZE is not None
+        and HYBRID_CLOSEST_CLUSTER_SIZE != accel.cluster_size
+    ):
+        t0 = time.perf_counter()
+        accel_c = build_clusters(
+            scene.triangles, cluster_size=HYBRID_CLOSEST_CLUSTER_SIZE
+        )
+        log.info(
+            "Built closest-path accel: %d clusters x %d slots (%.3fs)",
+            accel_c.num_clusters, accel_c.cluster_size,
+            time.perf_counter() - t0,
+        )
+
     def render_wave(xs, ys, s0):
         return _render_wave(
             scene, accel, camera, base_key, xs, ys, s0, spp,
+            accel_c=accel_c,
             w=w, h=h, sc=sc, pix_chunk=pix_chunk,
             lanes_padded=lanes_padded, block_size=block_size,
             max_bounces=settings.max_bounces, aspect=aspect,

@@ -212,3 +212,33 @@ def test_pool_scheduler_chunked_pixels(room_scene):
     img_wave = wavefront.render(room_scene, cam, SETTINGS,
                                 wave_size=1 << 9, block_size=64)
     np.testing.assert_allclose(img_wave, img_pool, atol=1e-5)
+
+
+def test_dual_accel_hybrid_bit_identical(room_scene):
+    """HYBRID_CLOSEST_CLUSTER_SIZE routes closest waves through a second
+    accel built from the original triangles — images must be bit-identical
+    (the traversal-exactness invariant)."""
+    import numpy as np
+
+    from path_tracer_ai_tpu.accel.clusters import build_clusters
+    from path_tracer_ai_tpu.config import RenderSettings
+    from path_tracer_ai_tpu.engine import wavefront
+    from path_tracer_ai_tpu.scene.camera import default_camera
+
+    scene = room_scene
+    camera = default_camera()
+    s = RenderSettings(width=24, height=16, samples_per_pixel=2,
+                       max_bounces=3, seed=5)
+    accel = build_clusters(scene.triangles, cluster_size=16)
+    img_a = wavefront.render(scene, camera, s, accel=accel, wave_size=512,
+                             block_size=64, backend="hybrid")
+    try:
+        wavefront.HYBRID_CLOSEST_CLUSTER_SIZE = 8
+        wavefront.clear_executable_caches()
+        img_b = wavefront.render(scene, camera, s, accel=accel,
+                                 wave_size=512, block_size=64,
+                                 backend="hybrid")
+    finally:
+        wavefront.HYBRID_CLOSEST_CLUSTER_SIZE = None
+        wavefront.clear_executable_caches()
+    np.testing.assert_array_equal(img_a, img_b)
