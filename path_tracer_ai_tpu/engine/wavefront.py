@@ -872,8 +872,17 @@ def render(
     ys_all, xs_all = np.mgrid[0:h, 0:w]
     xs_flat = xs_all.reshape(-1).astype(np.int32)
     ys_flat = ys_all.reshape(-1).astype(np.int32)
+    # Upload pixel coordinates ONCE (padded to whole chunks); per-wave
+    # device slices replace the old per-wave 8MB host->device pushes
+    # (the tunnel's transfer paths are ~12-30 MB/s).
+    npad_pix = math.ceil(npix / pix_chunk) * pix_chunk
+    xs_dev_all = jnp.asarray(np.pad(xs_flat, (0, npad_pix - npix)))
+    ys_dev_all = jnp.asarray(np.pad(ys_flat, (0, npad_pix - npix)))
 
-    # Resume from checkpoint if present.
+    # Resume from checkpoint if present. Accumulators live ON DEVICE and
+    # are pulled to the host only at checkpoints and at the end: the axon
+    # tunnel's device->host path measured ~12 MB/s, so the old per-wave
+    # [pix_chunk] pulls cost ~1s each — a large fraction of a 2spp render.
     acc = np.zeros((npix, 3), np.float32)
     cnt = np.zeros((npix,), np.int32)
     s_start = 0
@@ -883,6 +892,8 @@ def render(
         if loaded is not None:
             acc, cnt, s_start = loaded
             log.info("Resuming from checkpoint at sample %d/%d", s_start, spp)
+    acc_dev = jnp.asarray(acc)
+    cnt_dev = jnp.asarray(cnt)
 
     if stats is None:
         stats = RenderStats()
@@ -895,26 +906,26 @@ def render(
             for ci in range(n_pix_chunks):
                 lo = ci * pix_chunk
                 hi = min(lo + pix_chunk, npix)
-                xs = np.zeros((pix_chunk,), np.int32)
-                ys = np.zeros((pix_chunk,), np.int32)
-                xs[: hi - lo] = xs_flat[lo:hi]
-                ys[: hi - lo] = ys_flat[lo:hi]
-                # padded pixel slots repeat slot 0; their samples are wasted work
-                # only for slots < hi-lo, so crop the accumulators below.
+                xs = xs_dev_all[lo:lo + pix_chunk]
+                ys = ys_dev_all[lo:lo + pix_chunk]
+                # padded pixel slots hold coordinate 0; their samples are
+                # wasted work only, and the accumulators are cropped below.
                 a, c, nc, ns = _render_pool(
                     scene, accel, camera, base_key,
-                    jnp.asarray(xs), jnp.asarray(ys), s_start, spp,
+                    xs, ys, s_start, spp,
                     w=w, h=h, pix_chunk=pix_chunk, pool_size=lanes_padded,
                     block_size=block_size, max_bounces=settings.max_bounces,
                     aspect=aspect, use_pallas=use_pallas, backend=backend,
                 )
-                acc[lo:hi] += np.asarray(a)[: hi - lo]
-                cnt[lo:hi] += np.asarray(c)[: hi - lo]
+                acc_dev = acc_dev.at[lo:hi].add(a[: hi - lo])
+                cnt_dev = cnt_dev.at[lo:hi].add(c[: hi - lo])
                 stats.closest_rays += int(nc)
                 stats.shadow_rays += int(ns)
                 if show_progress:
                     log.info("Rendering progress: %d%% (pool)",
                              ((ci + 1) * 100) // n_pix_chunks)
+            acc = np.asarray(acc_dev)
+            cnt = np.asarray(cnt_dev)
             if checkpoint_path:
                 ckpt_io.save(checkpoint_path, acc, cnt, spp, fingerprint)
         stats.seconds += time.perf_counter() - t_start
@@ -933,13 +944,11 @@ def render(
         for ci in range(n_pix_chunks):
             lo = ci * pix_chunk
             hi = min(lo + pix_chunk, npix)
-            xs = np.zeros((pix_chunk,), np.int32)
-            ys = np.zeros((pix_chunk,), np.int32)
-            xs[: hi - lo] = xs_flat[lo:hi]
-            ys[: hi - lo] = ys_flat[lo:hi]
-            a, c, nc, ns = render_wave(jnp.asarray(xs), jnp.asarray(ys), s0)
-            acc[lo:hi] += np.asarray(a)[: hi - lo]
-            cnt[lo:hi] += np.asarray(c)[: hi - lo]
+            a, c, nc, ns = render_wave(
+                xs_dev_all[lo:lo + pix_chunk],
+                ys_dev_all[lo:lo + pix_chunk], s0)
+            acc_dev = acc_dev.at[lo:hi].add(a[: hi - lo])
+            cnt_dev = cnt_dev.at[lo:hi].add(c[: hi - lo])
             stats.closest_rays += int(nc)
             stats.shadow_rays += int(ns)
         passes_done += 1
@@ -950,8 +959,12 @@ def render(
             (checkpoint_every and passes_done % checkpoint_every == 0)
             or s0 + sc >= spp
         ):
+            acc = np.asarray(acc_dev)
+            cnt = np.asarray(cnt_dev)
             ckpt_io.save(checkpoint_path, acc, cnt, s0 + sc, fingerprint)
 
+    acc = np.asarray(acc_dev)
+    cnt = np.asarray(cnt_dev)
     stats.seconds += time.perf_counter() - t_start
     log.info(
         "Traced %.2fM rays (%.2fM closest + %.2fM shadow) at %.1f Mrays/s",

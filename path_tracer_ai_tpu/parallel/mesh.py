@@ -352,6 +352,9 @@ def render_sharded_wavefront(
     compose = _mexe(mesh, "compose", compose_exe)
     accum = _mexe(mesh, f"accum{spp}", accum_exe)
 
+    # Device-side accumulators in the padded per-tile layout; pulled to
+    # the host only at checkpoints and at the end (the tunnel D2H path is
+    # slow — see engine.wavefront.render).
     acc = np.zeros((npix, 3), np.float32)
     cnt = np.zeros((npix,), np.int32)
     fingerprint = ckpt_io.fingerprint(settings, scene.triangles.count, seed)
@@ -362,6 +365,19 @@ def render_sharded_wavefront(
             acc, cnt, s_done = loaded
             j_start = s_done // n_samp
             log.info("Resuming sharded render at sample %d/%d", s_done, spp)
+
+    def to_padded(x, fill=0):
+        out = np.zeros((n_tile * p_loc,) + x.shape[1:], x.dtype)
+        out[:npix] = x
+        return jnp.asarray(out.reshape(n_tile, p_loc, *x.shape[1:]))
+
+    acc_dev = to_padded(acc)          # [n_tile, p_loc, 3]
+    cnt_dev = to_padded(cnt)
+
+    def pull():
+        a = np.asarray(acc_dev).reshape(n_tile * p_loc, 3)[:npix]
+        c = np.asarray(cnt_dev).reshape(n_tile * p_loc)[:npix]
+        return a, c
 
     import time as _time
 
@@ -410,16 +426,8 @@ def render_sharded_wavefront(
                 rad = scatter_back(full_rad, rad, full_idx)
             a, c = accum(rad, s_arr)
             lo = ci * chunk
-            a = np.asarray(a).reshape(n_tile * chunk, 3)
-            c = np.asarray(c).reshape(n_tile * chunk)
-            for t in range(n_tile):
-                glo = t * p_loc + lo
-                ghi = min(glo + chunk, npix)
-                if glo >= npix:
-                    break
-                take = ghi - glo
-                acc[glo:ghi] += a[t * chunk:t * chunk + take]
-                cnt[glo:ghi] += c[t * chunk:t * chunk + take]
+            acc_dev = acc_dev.at[:, lo:lo + chunk].add(a)
+            cnt_dev = cnt_dev.at[:, lo:lo + chunk].add(c)
             if stats is not None:
                 stats.closest_rays += ncs
                 stats.shadow_rays += nss
@@ -428,8 +436,10 @@ def render_sharded_wavefront(
             (checkpoint_every and passes_done % checkpoint_every == 0)
             or j + 1 >= spp_loc
         ):
+            acc, cnt = pull()
             ckpt_io.save(checkpoint_path, acc, cnt,
                          (j + 1) * n_samp, fingerprint)
+    acc, cnt = pull()
     if stats is not None:
         stats.seconds += _time.perf_counter() - t_start
 
