@@ -66,13 +66,13 @@ KSLOTS_OCCLUDE_KW = dict(k_supers=6, k_clusters=8)
 # size every wave it runs (probe J: 2^17 cost ~360ms for 19 overflow
 # blocks). cap=48 >> p99 union, so overflow populations are tiny.
 CTILES_CLOSEST_KW = dict(cap=48, tile_chunk=2048, fallback_compact=1 << 13)
-# Closest waves and shadow waves want DIFFERENT cluster sizes (probe r3c:
-# S=256 is -17% on closest — halved row counts beat the extra dense tests
-# — but +28% on the packet-cascade shadow). When set, render() builds a
-# second accel at this size FROM THE ORIGINAL TRIANGLES (so e1/e2 stay
-# bit-identical to the oracle's) and the hybrid backend routes closest
-# waves through it.
-HYBRID_CLOSEST_CLUSTER_SIZE: Optional[int] = None
+# Closest waves and shadow waves want DIFFERENT cluster sizes (probes
+# r3c/r3d: S=256 closest is 385 -> 303ms XLA / 256ms Pallas — halved row
+# counts beat the extra dense tests — while the packet-cascade shadow is
+# +28% at S=256). render() builds the second accel at this size FROM THE
+# ORIGINAL TRIANGLES (so e1/e2 stay bit-identical to the oracle's) and
+# the hybrid backend routes closest waves through it.
+HYBRID_CLOSEST_CLUSTER_SIZE: Optional[int] = 256
 # lane_major: shadow waves arrive with each lane's 4 same-origin rays
 # consecutive; block=4 makes one block per lane (shared-origin union cull).
 CTILES_OCCLUDE_KW = dict(lane_major=True, block=4, sort=False)
@@ -191,10 +191,17 @@ def packet_backend(
         from path_tracer_ai_tpu.accel import ctiles, worklist
 
         accel_cl = accel_closest if accel_closest is not None else accel
+        # The fused Pallas tile sweep is the production closest sweep on
+        # TPU (probe r3d: 256 vs 303ms XLA at S=256; bitwise-identical
+        # output). CPU (tests) keeps the XLA sweep — Mosaic does not
+        # lower there and interpret mode is opt-in.
+        ckw = dict(CTILES_CLOSEST_KW)
+        if "use_pallas" not in ckw:
+            ckw["use_pallas"] = jax.default_backend() == "tpu"
 
         def closest(o, d, t_min, t_max):
             return ctiles.closest_hit_ctiles(
-                accel_cl, o, d, RAY_TMIN, t_max, **CTILES_CLOSEST_KW
+                accel_cl, o, d, RAY_TMIN, t_max, **ckw
             )
 
         hybrid_eng = HYBRID_OCCLUDE_KW.get("engine")
