@@ -108,6 +108,38 @@ for tag, kw in [("ct2l_xla", dict(KW)),
     except Exception as e:  # noqa: BLE001
         emit(probe="closest_big", engine=tag, error=str(e)[:300])
 
+# ---- 2b. small-scene shadow cascade block-size sweep (shadow is 55-60%
+# of bounce time; tighter per-block unions at b=8/16 light-major could cut
+# cascade tests ~3x at the price of a wider cull) ----
+if "--shadow-sweep" in sys.argv or not smoke:
+    scene_s, accel_s = _demo_scene(subdivisions=3 if smoke else 6)
+    accel_s = build_clusters(scene_s.triangles, cluster_size=128)
+    tv0s = np.asarray(scene_s.triangles.v0)
+    from path_tracer_ai_tpu.scene.scene import DEFAULT_LIGHTS
+
+    nv = (N // 4)
+    ti = np.sort(rng.choice(tv0s.shape[0], nv))
+    pp = tv0s[ti] + rng.standard_normal((nv, 3)).astype(np.float32) * 1e-3
+    lights = np.asarray([l[0] for l in DEFAULT_LIGHTS], np.float32)
+    osh = np.tile(pp, (4, 1))
+    lv = lights[:, None, :] - pp[None, :, :]
+    dist = np.linalg.norm(lv, axis=-1)
+    dsh = (lv / np.maximum(dist, 1e-30)[..., None]).reshape(-1, 3)
+    tsh = (dist - 1e-3).reshape(-1).astype(np.float32)
+    tsh[rng.random(tsh.shape[0]) < 0.3] = -1.0
+    osh, dsh, tsh = jnp.asarray(osh), jnp.asarray(dsh), jnp.asarray(tsh)
+    live_sh = int(jnp.sum(tsh >= 0))
+    for bs, gs in [(64, 8), (32, 4), (16, 4), (16, 2), (8, 4), (8, 2)]:
+        try:
+            dt, cs, _ = timeit(lambda: traverse.any_hit_packets(
+                accel_s, osh, dsh, RAY_TMIN, tsh, block_size=bs,
+                group_size=gs))
+            emit(probe="shadow5", engine=f"b{bs}_g{gs}",
+                 ms=round(dt * 1e3, 1), mrays=round(live_sh / dt / 1e6, 2),
+                 compile_s=round(cs, 1))
+        except Exception as e:  # noqa: BLE001
+            emit(probe="shadow5", engine=f"b{bs}_g{gs}", error=str(e)[:200])
+
 log("wave section complete")
 if "--no-e2e" in sys.argv:
     sys.exit(0)
