@@ -72,9 +72,18 @@ def main():
 
     t0 = time.perf_counter()
     timings = {}
-    scene, accel = _demo_scene(subdivisions=args.subdiv, timings=timings)
+    host = {}
+    scene, accel = _demo_scene(subdivisions=args.subdiv, timings=timings,
+                               host_out=host)
     if args.cluster_size != 128:
-        accel = build_clusters(scene.triangles, cluster_size=args.cluster_size)
+        accel = build_clusters(host["tris"], cluster_size=args.cluster_size)
+    # Build the hybrid closest-path accel from the HOST arrays too, so no
+    # device->host pull happens before rendering (the tunnel's first-D2H
+    # setup measured 25-270s; it now lands in the warmup's image pull).
+    accel_c = None
+    s_cl = wavefront.HYBRID_CLOSEST_CLUSTER_SIZE
+    if s_cl is not None and s_cl != accel.cluster_size:
+        accel_c = build_clusters(host["tris"], cluster_size=s_cl)
     log(
         f"scene: {scene.triangles.count} tris, accel {accel.num_clusters}x"
         f"{accel.cluster_size} ({time.perf_counter() - t0:.2f}s build; "
@@ -94,14 +103,15 @@ def main():
     warm = settings.replace(samples_per_pixel=min(args.spp, 2))
     t0 = time.perf_counter()
     wavefront.render(scene, camera, warm, accel=accel, block_size=64,
-                     wave_size=1 << 20, backend=args.backend)
+                     wave_size=1 << 20, backend=args.backend,
+                     accel_closest=accel_c)
     log(f"warmup (compile) pass: {time.perf_counter() - t0:.1f}s")
 
     stats = wavefront.RenderStats()
     t0 = time.perf_counter()
     img = wavefront.render(scene, camera, settings, accel=accel, stats=stats,
                            block_size=64, wave_size=1 << 20,
-                           backend=args.backend)
+                           backend=args.backend, accel_closest=accel_c)
     wall = time.perf_counter() - t0
     log(
         f"render {args.width}x{args.height}@{args.spp}spp/{args.bounces}b: "

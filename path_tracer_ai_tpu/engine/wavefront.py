@@ -789,6 +789,7 @@ def render(
     use_pallas: Optional[bool] = None,
     scheduler: str = "wave",
     backend: Optional[str] = None,
+    accel_closest: Optional[ClusterAccel] = None,
 ) -> np.ndarray:
     """Full-frame wavefront render -> linear [H, W, 3] float32.
 
@@ -849,10 +850,11 @@ def render(
     # Dual-accel hybrid: closest waves at a different cluster size
     # (HYBRID_CLOSEST_CLUSTER_SIZE), built from the ORIGINAL triangles so
     # edge vectors stay bit-identical to the oracle's.
-    accel_c = None
+    accel_c = accel_closest
     eff_backend = backend if backend is not None else default_backend(accel)
     if (
-        eff_backend == "hybrid"
+        accel_c is None
+        and eff_backend == "hybrid"
         and HYBRID_CLOSEST_CLUSTER_SIZE is not None
         and HYBRID_CLOSEST_CLUSTER_SIZE != accel.cluster_size
     ):
