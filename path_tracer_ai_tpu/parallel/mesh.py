@@ -202,6 +202,7 @@ def render_sharded_wavefront(
     checkpoint_every: int = 0,
     stats=None,
     compact_min_bucket: int = 1 << 14,
+    accel_closest=None,
 ) -> np.ndarray:
     """Host-stepped wavefront render over a (tiles, samples) mesh."""
     from functools import partial
@@ -218,7 +219,8 @@ def render_sharded_wavefront(
         accel = build_clusters(scene.triangles)
     seed = settings.seed if settings.seed is not None else 0
     base_key_data = jax.random.key_data(jax.random.key(np.uint32(seed)))
-    closest, occlude = packet_backend(accel, block_size, backend=backend)
+    closest, occlude = packet_backend(accel, block_size, backend=backend,
+                                      accel_closest=accel_closest)
 
     npix = w * h
     p_loc = -(-npix // n_tile)
