@@ -815,7 +815,7 @@ def render(
             scene, camera, settings, n_devices=tile_devices,
             accel=accel, block_size=block_size, backend=backend,
             checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
-            stats=stats,
+            stats=stats, accel_closest=accel_closest,
         )
 
     w, h, spp = settings.width, settings.height, settings.samples_per_pixel

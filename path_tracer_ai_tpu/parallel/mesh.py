@@ -466,4 +466,7 @@ def render_tiled(
     log.info("Rendering on %d-device mesh (tiles=%d, samples=1)", n, n)
     if scheduler == "wave":
         return render_sharded_wavefront(scene, camera, settings, mesh, **kw)
+    for k in ("accel_closest", "backend", "checkpoint_path",
+              "checkpoint_every", "stats"):
+        kw.pop(k, None)  # the fused path supports the base surface only
     return render_sharded(scene, camera, settings, mesh, **kw)
