@@ -298,10 +298,19 @@ def _cascade_traverse(
         if last_stage:
             break
 
-        # compact still-active blocks to the front of the slice
+        # Compact still-active blocks to the front of the slice. MUST be a
+        # pure whole-array gather: the natural in-place form
+        # `a.at[:size].set(a[:size][perm])` MISCOMPILES under jit (XLA CPU,
+        # jax 0.9.0) — the gather payload aliases the buffer being updated
+        # in place and reads already-overwritten rows, silently corrupting
+        # the permutation (scripts/debug_anyhit4.py; minimal repro in the
+        # round-3 log). Eager mode and this gather form are correct.
         act = active_fn(k0, blocks_sl, carry_sl)
         perm = jnp.argsort(~act, stable=True).astype(jnp.int32)
-        full = tuple(a.at[:size].set(a[:size][perm]) for a in full)
+        row_idx = jnp.concatenate(
+            [perm, jnp.arange(size, nb, dtype=jnp.int32)]
+        )
+        full = tuple(a[row_idx] for a in full)
         size //= 2
 
     carry_out = full[n_in:n_in + n_carry]

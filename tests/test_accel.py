@@ -133,6 +133,45 @@ class TestTraversalExactness:
         bh = closest_hit(tris, o, d, 1e-3, np.inf)
         np.testing.assert_array_equal(np.asarray(ph.hit), np.asarray(bh.hit))
 
+    @pytest.mark.parametrize("block,group", [(16, 2), (32, 2), (16, 4)])
+    def test_cascade_compaction_small_blocks(self, rng, block, group):
+        """Regression: jitted cascade compaction corrupted results.
+
+        The compaction step of _cascade_traverse used an in-place
+        slice-permute (`a.at[:size].set(a[:size][perm])`) whose gather
+        payload aliased the buffer being updated — XLA lowered it to an
+        in-place update reading already-overwritten rows, silently
+        corrupting the block permutation. Only manifested when block
+        retirement was skewed (sorted shadow-like waves at small
+        block/group sizes) and several compaction stages ran; the fix is a
+        pure whole-array gather. This pins the failing shape: clumped
+        surface-point origins toward point lights, 30% dead lanes, sorted.
+        """
+        tris = random_soup(rng, 600, spread=3.0)
+        accel = build_clusters(tris, cluster_size=32)
+        n = 2048
+        v0 = np.asarray(tris.v0)
+        pts = v0[rng.choice(len(v0), n)] + rng.standard_normal(
+            (n, 3)).astype(np.float32) * 1e-3
+        lights = np.asarray([[0, 5, 0], [4, 4, -4], [-4, 4, 4], [0, 6, 5]],
+                            np.float32)
+        lv = lights[rng.integers(0, 4, n)] - pts
+        dist = np.linalg.norm(lv, axis=1)
+        d = lv / np.maximum(dist, 1e-30)[:, None]
+        tmax = (dist - 1e-3).astype(np.float32)
+        tmax[rng.random(n) < 0.3] = -1.0
+        o_j, d_j, tm_j = jnp.asarray(pts), jnp.asarray(d), jnp.asarray(tmax)
+        ba = np.asarray(any_hit(tris, o_j, d_j, 1e-3, tm_j)) & (tmax >= 0)
+        pa = any_hit_packets(accel, o_j, d_j, 1e-3, tm_j,
+                             block_size=block, group_size=group)
+        np.testing.assert_array_equal(np.asarray(pa), ba)
+        ph = closest_hit_packets(accel, o_j, d_j, 1e-3, tm_j,
+                                 block_size=block, group_size=group)
+        bh = closest_hit(tris, o_j, d_j, 1e-3, tm_j)
+        live = tmax >= 0
+        np.testing.assert_array_equal(np.asarray(ph.hit)[live],
+                                      np.asarray(bh.hit)[live])
+
     def test_shrinking_tmax_prunes_correctly(self, rng):
         """Dense planes stacked along z: nearest must win."""
         planes = []
