@@ -552,7 +552,8 @@ def any_hit_perray(
     return jnp.where(overflow, fb[:n], occluded)
 
 
-@partial(jax.jit, static_argnames=("block_size", "sort", "group_size"))
+@partial(jax.jit,
+         static_argnames=("block_size", "sort", "group_size", "sort_mode"))
 def closest_hit_packets(
     accel: ClusterAccel,
     origins: jnp.ndarray,     # [N,3]; N must be a multiple of block_size
@@ -562,6 +563,7 @@ def closest_hit_packets(
     block_size: int = 256,
     sort: bool = True,
     group_size: int = 8,
+    sort_mode: str = "dir",
 ) -> PacketHit:
     n = origins.shape[0]
     assert n % block_size == 0, f"wave size {n} not a multiple of {block_size}"
@@ -570,11 +572,16 @@ def closest_hit_packets(
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
 
     if sort:
-        keys = _sort_keys(accel, origins, directions, t_max)
+        keys = _sort_keys(accel, origins, directions, t_max, mode=sort_mode)
         perm = jnp.argsort(keys).astype(jnp.int32)
-        origins = origins[perm]
-        directions = directions[perm]
-        t_max = t_max[perm]
+        # ONE packed row gather (~7.4ns/row regardless of width) instead of
+        # three narrow ones; bit-exact data movement.
+        packed = jnp.concatenate(
+            [origins, directions, t_max[:, None]], axis=1
+        )[perm]
+        origins, directions, t_max = (
+            packed[:, 0:3], packed[:, 3:6], packed[:, 6]
+        )
 
     o_blk = origins.reshape(nb, block_size, 3)
     d_blk = directions.reshape(nb, block_size, 3)
@@ -649,13 +656,20 @@ def closest_hit_packets(
     t_out = best_t.reshape(n)
     id_out = best_id.reshape(n)
     if sort:
-        inv = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
-        t_out = t_out[inv]
-        id_out = id_out[inv]
+        # Direct packed row scatter out[perm[i]] = res[i] — one scatter
+        # replaces inverse-permutation build + two gathers (bit-exact:
+        # i32 bitcasts move bits only).
+        packed = jnp.stack(
+            [jax.lax.bitcast_convert_type(t_out, jnp.int32), id_out], axis=1
+        )
+        out = jnp.zeros((n, 2), jnp.int32).at[perm].set(packed)
+        t_out = jax.lax.bitcast_convert_type(out[:, 0], jnp.float32)
+        id_out = out[:, 1]
     return PacketHit(hit=jnp.isfinite(t_out), t=t_out, tri=id_out)
 
 
-@partial(jax.jit, static_argnames=("block_size", "sort", "group_size"))
+@partial(jax.jit,
+         static_argnames=("block_size", "sort", "group_size", "sort_mode"))
 def any_hit_packets(
     accel: ClusterAccel,
     origins: jnp.ndarray,
@@ -665,6 +679,7 @@ def any_hit_packets(
     block_size: int = 256,
     sort: bool = True,
     group_size: int = 8,
+    sort_mode: str = "dir",
 ) -> jnp.ndarray:
     """Occlusion query over a wave; early-exits once every lane is resolved."""
     n = origins.shape[0]
@@ -674,11 +689,14 @@ def any_hit_packets(
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
 
     if sort:
-        keys = _sort_keys(accel, origins, directions, t_max)
+        keys = _sort_keys(accel, origins, directions, t_max, mode=sort_mode)
         perm = jnp.argsort(keys).astype(jnp.int32)
-        origins = origins[perm]
-        directions = directions[perm]
-        t_max = t_max[perm]
+        packed = jnp.concatenate(
+            [origins, directions, t_max[:, None]], axis=1
+        )[perm]
+        origins, directions, t_max = (
+            packed[:, 0:3], packed[:, 3:6], packed[:, 6]
+        )
 
     o_blk = origins.reshape(nb, block_size, 3)
     d_blk = directions.reshape(nb, block_size, 3)
@@ -720,6 +738,7 @@ def any_hit_packets(
     occluded = _unpermute_blocks(carry[0], blk_index)
     out = occluded.reshape(n)
     if sort:
-        inv = jnp.zeros((n,), jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
-        out = out[inv]
+        # Direct scatter out[perm[i]] = res[i]: one scatter instead of
+        # inverse-permutation build + gather.
+        out = jnp.zeros((n,), bool).at[perm].set(out)
     return out

@@ -214,7 +214,8 @@ def packet_backend(
             # block_size/group_size (probe r3b: g2 measured +11% on
             # shadow waves vs the g8 default).
             pkw = dict(block_size=okw.get("block_size", block_size),
-                       group_size=okw.get("group_size", 8))
+                       group_size=okw.get("group_size", 8),
+                       sort_mode=okw.get("sort_mode", "dir"))
 
             def occlude(o, d, t_max):
                 return traverse.any_hit_packets(
