@@ -90,6 +90,39 @@ def main():
         + " ".join(f"{k}={v:.2f}" for k, v in timings.items()) + ")"
     )
 
+    # Compiled-mode (non-interpret) Pallas exactness pin: the production
+    # closest path runs the fused Pallas tile sweep on TPU; assert its
+    # compiled output is BITWISE equal to the XLA sweep on a bounce-like
+    # wave, every bench session (CI only covers interpret mode).
+    pallas_exact = None
+    if jax.default_backend() == "tpu" and not args.quick:
+        from path_tracer_ai_tpu.accel import ctiles
+        from path_tracer_ai_tpu.core.types import RAY_TMIN
+
+        rng = np.random.default_rng(0)
+        nv = 1 << 13
+        tv0 = np.asarray(host["tris"].v0)
+        ti = rng.choice(tv0.shape[0], nv)
+        o = jnp.asarray(tv0[ti] + rng.standard_normal((nv, 3)).astype(np.float32) * 1e-3)
+        dn = rng.standard_normal((nv, 3)).astype(np.float32)
+        d = jnp.asarray(dn / np.linalg.norm(dn, axis=1, keepdims=True))
+        tm = jnp.full((nv,), np.inf, jnp.float32)
+        acc = accel_c if accel_c is not None else accel
+        t0 = time.perf_counter()
+        hx = ctiles.closest_hit_ctiles(acc, o, d, RAY_TMIN, tm, use_pallas=False)
+        hp = ctiles.closest_hit_ctiles(acc, o, d, RAY_TMIN, tm, use_pallas=True)
+        jax.block_until_ready((hx, hp))
+        tx = np.asarray(hx.t).view(np.int32)
+        tp = np.asarray(hp.t).view(np.int32)
+        pallas_exact = bool(
+            np.array_equal(tx, tp)
+            and np.array_equal(np.asarray(hx.tri), np.asarray(hp.tri))
+            and np.array_equal(np.asarray(hx.hit), np.asarray(hp.hit))
+        )
+        log(f"pallas compiled-mode exactness ({nv} rays): {pallas_exact} "
+            f"({time.perf_counter() - t0:.1f}s)")
+        assert pallas_exact, "compiled Pallas sweep diverged from XLA sweep"
+
     camera = default_camera()
     settings = RenderSettings(
         width=args.width, height=args.height, samples_per_pixel=args.spp,
@@ -126,6 +159,8 @@ def main():
         "unit": "Mrays/s",
         "vs_baseline": round(stats.mrays_per_s / 100.0, 4),
     }
+    if pallas_exact is not None:
+        result["pallas_compiled_exact"] = pallas_exact
     print(json.dumps(result))
 
 

@@ -84,6 +84,11 @@ def main():
     def record(name, **kw):
         results[name] = kw
         log(f"[{name}] {kw}")
+        # Write incrementally: a killed session (tool timeout, tunnel wedge)
+        # must not lose completed configs — each costs minutes of TPU time.
+        os.makedirs("/root/repo/results", exist_ok=True)
+        with open(prev, "w") as f:
+            json.dump(results, f, indent=1)
 
     # ---- the four non-4k configs at full spec -----------------------------
     for name in ["cpu-ref", "cornell", "dielectric", "gpu-parity"]:
@@ -296,7 +301,7 @@ def main():
                   f"{rr['rmse_pct']}% — the MC-noise level at this spp."]
     with open("/root/repo/RESULTS.md", "w") as f:
         f.write("\n".join(lines) + "\n")
-    log("wrote RESULTS.md + results/results_r2.json")
+    log("wrote RESULTS.md + results/results_r3.json")
     print(json.dumps(results))
 
 
