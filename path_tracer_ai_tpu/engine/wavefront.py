@@ -59,7 +59,11 @@ _BOUNCE_TIMING = os.environ.get("PT_BOUNCE_TIMING") == "1"
 # origin-major (28k vs 143k rays past cap=96) and tables to 39ms/2^20.
 WORKLIST_CLOSEST_KW = dict(cap=96, item_budget=8)
 WORKLIST_OCCLUDE_KW = dict(sort=False)
-HYBRID_OCCLUDE_KW = dict(engine="packets")
+# group_size=2: probe r3f measured b64_g2 +8% on bare shadow waves (6.75 vs
+# 6.24 Mrays/s) and probe r3g confirmed e2e +6% (3.19 vs 3.00 Mrays/s,
+# same-session A/B, images bit-identical). Smaller retirement groups let
+# finished 2-ray groups exit the cascade earlier than g8's 8-ray granules.
+HYBRID_OCCLUDE_KW = dict(engine="packets", group_size=2)
 KSLOTS_CLOSEST_KW = dict(k_supers=6, k_clusters=12)
 KSLOTS_OCCLUDE_KW = dict(k_supers=6, k_clusters=8)
 # fallback_compact SMALL: the compact overflow fallback costs its STATIC
