@@ -71,11 +71,20 @@ def render(
     chunk_pixels: int = 16384,
     tri_chunk: int = 512,
     show_progress: bool = False,
+    spp_chunk: int = 0,
 ) -> np.ndarray:
     """Full-frame render; returns linear-radiance image [H, W, 3] float32.
 
     Gamma correction happens at save time (io.image), matching the reference
     split between Renderer::render and Renderer::saveImage.
+
+    spp_chunk > 0 bounds each DEVICE EXECUTION to that many samples per
+    pixel chunk (the whole-spp fori_loop otherwise runs as ONE execution;
+    at high spp that is a multi-minute device program, which the axon
+    tunnel's watchdog kills — observed as "TPU worker process crashed" at
+    96x96@32768spp). Per-sample math is identical; only the f32
+    accumulation grouping changes (partial sums per block), so same-seed
+    agreement holds to float-summation order, as across wave sizes.
     """
     w, h, spp = settings.width, settings.height, settings.samples_per_pixel
     aspect = settings.aspect_ratio()
@@ -87,7 +96,7 @@ def render(
     base_key = jax.random.key(np.uint32(seed))
 
     @partial(jax.jit, donate_argnums=())
-    def render_chunk(xs, ys):
+    def render_chunk(xs, ys, s_lo, s_hi):
         pix_idx = ys * w + xs
         n = xs.shape[0]
 
@@ -112,7 +121,8 @@ def render(
 
         acc0 = jnp.zeros((n, 3), jnp.float32)
         cnt0 = jnp.zeros((n,), jnp.int32)
-        return jax.lax.fori_loop(0, spp, sample_body, (acc0, cnt0))
+        # Dynamic bounds: one executable serves every sample block.
+        return jax.lax.fori_loop(s_lo, s_hi, sample_body, (acc0, cnt0))
 
     ys_all, xs_all = np.mgrid[0:h, 0:w]
     xs_flat = xs_all.reshape(-1).astype(np.int32)
@@ -130,7 +140,14 @@ def render(
         ys = np.zeros((chunk,), np.int32)
         xs[: hi - lo] = xs_flat[lo:hi]
         ys[: hi - lo] = ys_flat[lo:hi]
-        a, c = render_chunk(jnp.asarray(xs), jnp.asarray(ys))
+        xs_d, ys_d = jnp.asarray(xs), jnp.asarray(ys)
+        sc = spp if spp_chunk <= 0 else min(spp_chunk, spp)
+        a = c = None
+        for s_lo in range(0, spp, sc):
+            ab, cb = render_chunk(xs_d, ys_d, jnp.int32(s_lo),
+                                  jnp.int32(min(s_lo + sc, spp)))
+            a = ab if a is None else a + ab
+            c = cb if c is None else c + cb
         acc[lo:hi] = np.asarray(a)[: hi - lo]
         cnt[lo:hi] = np.asarray(c)[: hi - lo]
         if show_progress:

@@ -190,7 +190,12 @@ def main():
                                  block_size=64)
         w_wall = time.perf_counter() - t0
         t0 = time.perf_counter()
-        img_o = oracle.render(scene_c, cam_c, s_hi.replace(seed=22))
+        # spp_chunk bounds each device execution to ~16s: the whole-spp
+        # fori_loop at 32768spp is a multi-minute single execution, which
+        # the axon tunnel's watchdog kills (observed: "TPU worker process
+        # crashed" — and a 10-45min tunnel wedge).
+        img_o = oracle.render(scene_c, cam_c, s_hi.replace(seed=22),
+                              spp_chunk=2048)
         o_wall = time.perf_counter() - t0
         r = benchmarks.rmse(img_w, img_o)
         record("cornell_rmse_1pct",

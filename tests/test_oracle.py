@@ -154,6 +154,18 @@ def test_render_shapes_and_determinism():
     np.testing.assert_allclose(img1, img2, atol=1e-6)
 
 
+def test_render_spp_chunk_matches_whole_loop():
+    """spp_chunk bounds device executions (axon watchdog); per-sample math
+    is identical, only f32 accumulation grouping changes."""
+    scene = floor_scene(one_light((0, 2, 0)))
+    cam = default_camera()
+    s = RenderSettings(width=12, height=7, samples_per_pixel=9, max_bounces=2, seed=3)
+    whole = oracle.render(scene, cam, s)
+    for sc in (1, 4, 9, 100):
+        chunked = oracle.render(scene, cam, s, spp_chunk=sc)
+        np.testing.assert_allclose(chunked, whole, atol=1e-5)
+
+
 def test_render_seed_changes_noise():
     scene = floor_scene(one_light((0, 2, 0)))
     cam = default_camera()
