@@ -1,0 +1,233 @@
+"""Fused Pallas any-hit cascade for shadow waves (round-3 shadow lever).
+
+Shadow rays are ~80% of all traced rays and ride the sorted packet
+cascade (`traverse.any_hit_packets`), whose per-iteration XLA body —
+3 row-granular cluster gathers + a dense [B, R, g*S] Möller–Trumbore +
+an any-reduction — runs well below the measured dense-MT peak (the
+row tax: ~7.4ns/gathered row, docs/ARCHITECTURE.md). This module keeps
+the cascade's winning structure (coherence sort, conservative interval
+cull, while_loop with block retirement + compaction, any-hit early-out)
+and replaces the sweep body with ONE `pallas_call` per iteration:
+
+- grid = one step per RAY BLOCK (128 sorted rays = the natural f32 lane
+  tile); the step's 8 candidate cluster ids are scalar-prefetch
+  operands, so 8 triangle-block index_maps DMA the [16, S] cluster
+  packs straight from HBM — no XLA gather rows at all.
+- rays arrive packed [nb, 8, 128] (component rows: ox oy oz dx dy dz
+  t_max t_min — `pallas_ctiles.pack_rays_tiles`).
+- in-kernel: per cluster, one [16, S] -> [S, 16] transpose puts
+  triangle components on sublanes; MT runs as [S, 128] outer-broadcast
+  chains with the exact op order of `traverse._mt_sweep` (identical
+  floats => identical occlusion bits), and the 8 clusters' any-hits
+  OR-reduce to one [1, 128] row.
+- candidate-list padding and exhausted blocks point at an appended
+  ALL-ZERO dummy cluster: a zero triangle has MT determinant a == 0,
+  so |a| > MT_EPSILON fails every lane — no masking needed in-kernel.
+
+Consuming 8 candidates per while-iteration coarsens the early-out from
+the XLA path's group_size=2 (probe F: g2 beat g8 by ~8% wave-level);
+the kernel must win more than that back. Opt-in until the on-chip A/B
+lands (the round-1 Pallas lesson: production only after it beats XLA
+on wall-clock).
+
+Reference role: shadow `optixTrace` with TERMINATE_ON_FIRST_HIT
+(/root/reference/src/gpu/ptx/optix_kernels.cu:159-181).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from path_tracer_ai_tpu.accel import traverse
+from path_tracer_ai_tpu.accel.pallas_ctiles import pack_rays_tiles, pack_tris
+from path_tracer_ai_tpu.core.types import MT_EPSILON
+
+GROUP = 8  # candidate clusters consumed per block per while-iteration
+
+
+def pack_tris_dummy(accel) -> jnp.ndarray:
+    """[C+1, 16, S] triangle pack with an all-zero dummy cluster at index C
+    (the no-hit sink for candidate-list padding)."""
+    pack = pack_tris(accel)
+    return jnp.pad(pack, ((0, 1), (0, 0), (0, 0)))
+
+
+def _anyhit_kernel(cid_ref, rays_ref, *refs):
+    """One grid step: one 128-ray block vs GROUP candidate clusters."""
+    del cid_ref  # consumed by the index_maps only
+    tri_refs = refs[:-1]
+    out_ref = refs[-1]
+
+    rays = rays_ref[0]                                    # [8, T]
+    ox, oy, oz = rays[0:1, :], rays[1:2, :], rays[2:3, :]  # [1, T]
+    dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
+    tmax = rays[6:7, :]
+    tmin = rays[7:8, :]
+
+    acc = jnp.zeros_like(tmax)                            # [1, T] 0/1
+    for j in range(GROUP):
+        trit = tri_refs[j][0].T                           # [S, 16]
+        v0x, v0y, v0z = trit[:, 0:1], trit[:, 1:2], trit[:, 2:3]  # [S, 1]
+        e1x, e1y, e1z = trit[:, 3:4], trit[:, 4:5], trit[:, 5:6]
+        e2x, e2y, e2z = trit[:, 6:7], trit[:, 7:8], trit[:, 8:9]
+
+        # Möller–Trumbore, identical op order to traverse._mt_sweep
+        # ([S, T] outer-broadcast chains).
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        ok = jnp.abs(a) > MT_EPSILON
+        f = 1.0 / jnp.where(ok, a, 1.0)
+        sx = ox - v0x
+        sy = oy - v0y
+        sz = oz - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+        ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+        ok &= (t >= tmin) & (t <= tmax)
+
+        okf = jnp.where(ok, 1.0, 0.0)                     # [S, T]
+        acc = jnp.maximum(acc, jnp.max(okf, axis=0, keepdims=True))
+
+    # Output blocks need (8, 128)-divisible trailing dims; broadcast the
+    # reduced row (the caller reads row 0).
+    out_ref[0] = jnp.broadcast_to(acc, out_ref.shape[1:])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def block_anyhit(tri_pack, rays_pack, cid8, interpret=False):
+    """Fused per-block any-hit: [size, 8, T] f32, row 0 = 1.0 where occluded.
+
+    tri_pack [C+1, 16, S] (pack_tris_dummy), rays_pack [size, 8, T]
+    (pack_rays_tiles; row 7 = t_min), cid8 [size*GROUP] i32 candidate
+    cluster ids (block i's candidates at i*GROUP..i*GROUP+7; padding
+    entries point at the dummy cluster C).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    size, _, t_lanes = rays_pack.shape
+    s = tri_pack.shape[2]
+
+    tri_specs = [
+        pl.BlockSpec(
+            (1, 16, s),
+            functools.partial(
+                lambda i, cid, j: (cid[i * GROUP + j], 0, 0), j=j
+            ),
+        )
+        for j in range(GROUP)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(size,),
+        in_specs=[pl.BlockSpec((1, 8, t_lanes), lambda i, cid: (i, 0, 0))]
+        + tri_specs,
+        out_specs=pl.BlockSpec((1, 8, t_lanes), lambda i, cid: (i, 0, 0)),
+    )
+    return pl.pallas_call(
+        _anyhit_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((size, 8, t_lanes), jnp.float32),
+        interpret=interpret,
+    )(cid8, rays_pack, *([tri_pack] * GROUP))
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, (x - 1).bit_length())
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_size", "sort_mode", "interpret")
+)
+def any_hit_fused(
+    accel,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    t_min,
+    t_max,
+    block_size: int = 128,
+    sort_mode: str = "dir",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Occlusion query over a wave via the fused Pallas cascade.
+
+    Exact per ray (same guarantees as traverse.any_hit_packets; blocking
+    never affects the result). Accepts any wave size: rays pad to a
+    power-of-two block count (>= 32 blocks) with dead lanes that sort to
+    the end and retire in the first compaction.
+    """
+    n0 = origins.shape[0]
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n0,))
+
+    nb = max(32, _next_pow2(-(-n0 // block_size)))
+    n = nb * block_size
+    if n - n0:
+        origins = jnp.pad(origins, ((0, n - n0), (0, 0)))
+        directions = jnp.pad(
+            directions, ((0, n - n0), (0, 0)), constant_values=1.0
+        )
+        t_max = jnp.pad(t_max, (0, n - n0), constant_values=-1.0)
+
+    keys = traverse._sort_keys(accel, origins, directions, t_max,
+                               mode=sort_mode)
+    perm = jnp.argsort(keys).astype(jnp.int32)
+    packed = jnp.concatenate(
+        [origins, directions, t_max[:, None]], axis=1
+    )[perm]
+    origins, directions, t_max = packed[:, 0:3], packed[:, 3:6], packed[:, 6]
+
+    o_blk = origins.reshape(nb, block_size, 3)
+    d_blk = directions.reshape(nb, block_size, 3)
+    tmax_blk = t_max.reshape(nb, block_size)
+
+    order, n_cand, _entry = traverse._block_candidates(
+        accel, o_blk, d_blk, tmax_blk
+    )
+    g = GROUP
+    c = accel.num_clusters
+    dummy = jnp.int32(c)
+    c_pad = -(-c // g) * g
+    if c_pad - c:
+        order = jnp.pad(order, ((0, 0), (0, c_pad - c)))
+    # Entries past a block's candidate count sink into the dummy cluster
+    # (zero triangles: determinant 0 fails MT_EPSILON on every lane).
+    cols = jnp.arange(c_pad, dtype=jnp.int32)
+    order = jnp.where(cols[None, :] < n_cand[:, None], order, dummy)
+    order_g = order.reshape(nb, c_pad // g, g)
+    max_k = c_pad // g - 1
+
+    tri_pack = pack_tris_dummy(accel)
+    rays_pack = pack_rays_tiles(origins, directions, t_max, block_size,
+                                t_min=t_min)
+
+    def active_fn(k, blocks, carry):
+        nc = blocks[1]
+        occ = carry[0]
+        return (k * g < nc) & ~jnp.all(occ, axis=1)
+
+    def sweep_update(k, blocks, carry):
+        rays_pk, _nc, ordg = blocks
+        (occ,) = carry
+        kk = jnp.minimum(k, max_k)
+        cid8 = ordg[:, kk].reshape(-1)
+        hit = block_anyhit(tri_pack, rays_pk, cid8, interpret=interpret)
+        return (occ | (hit[:, 0, :] > 0.0),)
+
+    carry, blk_index = traverse._cascade_traverse(
+        (rays_pack, n_cand, order_g),
+        (jnp.zeros((nb, block_size), bool),),
+        sweep_update,
+        active_fn,
+    )
+    occluded = traverse._unpermute_blocks(carry[0], blk_index).reshape(n)
+    out = jnp.zeros((n,), bool).at[perm].set(occluded)
+    return out[:n0]

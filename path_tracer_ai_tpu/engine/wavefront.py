@@ -225,6 +225,30 @@ def packet_backend(
                 return traverse.any_hit_packets(
                     accel, o, d, RAY_TMIN, t_max, **pkw
                 )
+        elif hybrid_eng == "packets_fused":
+            # Fused Pallas any-hit cascade (pallas_anyhit): the packet
+            # cascade's structure with the sweep body in one kernel per
+            # iteration (cluster DMA via scalar-prefetch index maps). TPU
+            # only — CPU (tests) routes to the XLA cascade, bit-identical
+            # because occlusion is exact under any blocking.
+            fkw = dict(block_size=okw.get("block_size", 128),
+                       sort_mode=okw.get("sort_mode", "dir"))
+            if jax.default_backend() == "tpu" or okw.get("interpret", False):
+                from path_tracer_ai_tpu.accel import pallas_anyhit
+
+                fkw["interpret"] = okw.get("interpret", False)
+
+                def occlude(o, d, t_max):
+                    return pallas_anyhit.any_hit_fused(
+                        accel, o, d, RAY_TMIN, t_max, **fkw
+                    )
+            else:
+
+                def occlude(o, d, t_max):
+                    return traverse.any_hit_packets(
+                        accel, o, d, RAY_TMIN, t_max,
+                        block_size=64, group_size=2,
+                    )
         elif hybrid_eng == "ctiles":
             # Per-ray-exact OR-union shadow path (round-3 lever: shadows
             # are ~80% of traced rays); right-sized fallback per the

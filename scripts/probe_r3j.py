@@ -1,0 +1,180 @@
+"""Round-3 probe J: fused Pallas shadow cascade A/B (VERDICT task 2).
+
+Shadow is 55-60% of bounce time. pallas_anyhit.any_hit_fused keeps the
+packet cascade's structure but fuses the per-iteration gather+MT+reduce
+into one kernel (8 candidate clusters per 128-ray block per grid step,
+cluster DMA via scalar-prefetch index maps). The kernel coarsens the
+early-out to 8-candidate granularity (probe F: g2 beat g8 by ~8%), so
+it must win more than that back. Sections:
+
+  1. wave-level shadow A/B on the probe-F synthetic distribution:
+     b64_g2 XLA (prod) | b128_g2 / b128_g8 XLA (controls separating the
+     block-width and granularity effects) | fused b128 | fused b256.
+     All occlusion vectors must match prod exactly.
+  2. e2e 1080p@2spp/5b hybrid: engine="packets" g2 (prod) vs
+     engine="packets_fused" — images must be bit-identical.
+
+Usage: python scripts/probe_r3j.py [--cpu] [--no-e2e]
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+smoke = "--cpu" in sys.argv
+
+import jax
+
+if smoke:
+    jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # noqa: BLE001
+    pass
+
+import jax.numpy as jnp
+import numpy as np
+
+jnp.zeros(()).block_until_ready()
+t0 = time.perf_counter()
+_ = np.asarray(jnp.ones((8,), jnp.float32))
+emit(probe="init", platform=jax.devices()[0].platform,
+     first_d2h_s=round(time.perf_counter() - t0, 1))
+
+from __graft_entry__ import _demo_scene
+from path_tracer_ai_tpu.accel import pallas_anyhit, traverse
+from path_tracer_ai_tpu.accel.clusters import build_clusters
+from path_tracer_ai_tpu.core.types import RAY_TMIN
+from path_tracer_ai_tpu.scene.scene import DEFAULT_LIGHTS
+
+host = {}
+scene, accel = _demo_scene(subdivisions=3 if smoke else 6, host_out=host)
+accel_c = build_clusters(host["tris"], cluster_size=256)
+emit(probe="scene", tris=int(scene.triangles.count),
+     clusters=accel.num_clusters)
+
+rng = np.random.default_rng(0)
+N = 1 << 12 if smoke else 1 << 20
+tv0 = np.asarray(host["tris"].v0)
+ntri = tv0.shape[0]
+
+
+def timeit(fn, reps=3):
+    t0 = time.perf_counter()
+    out = fn()
+    jax.block_until_ready(out)
+    cs = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps, cs, out
+
+
+# ---- 1. wave-level shadow A/B (probe-F distribution) -------------------
+nv = N // 4
+ti = np.sort(rng.choice(ntri, nv))
+pp = tv0[ti] + rng.standard_normal((nv, 3)).astype(np.float32) * 1e-3
+lights = np.asarray([l[0] for l in DEFAULT_LIGHTS], np.float32)
+osh = np.tile(pp, (4, 1))
+lv = lights[:, None, :] - pp[None, :, :]
+dist = np.linalg.norm(lv, axis=-1)
+dsh = (lv / np.maximum(dist, 1e-30)[..., None]).reshape(-1, 3)
+tsh = (dist - 1e-3).reshape(-1).astype(np.float32)
+tsh[rng.random(tsh.shape[0]) < 0.3] = -1.0
+osh, dsh, tsh = jnp.asarray(osh), jnp.asarray(dsh), jnp.asarray(tsh)
+live_sh = int(jnp.sum(tsh >= 0))
+
+ref_occ = None
+ikw = dict(interpret=True) if smoke else {}
+
+
+def shadow_case(tag, fn):
+    global ref_occ
+    try:
+        dt, cs, occ = timeit(fn)
+        row = dict(probe="shadow7", engine=tag, ms=round(dt * 1e3, 1),
+                   mrays=round(live_sh / dt / 1e6, 2),
+                   compile_s=round(cs, 1))
+        if ref_occ is None:
+            ref_occ = occ
+        else:
+            row["mismatch"] = int(jnp.sum(occ != ref_occ))
+        emit(**row)
+    except Exception as e:  # noqa: BLE001
+        emit(probe="shadow7", engine=tag, error=str(e)[:300])
+
+
+shadow_case("xla_b64_g2", lambda: traverse.any_hit_packets(
+    accel, osh, dsh, RAY_TMIN, tsh, block_size=64, group_size=2))
+shadow_case("xla_b128_g2", lambda: traverse.any_hit_packets(
+    accel, osh, dsh, RAY_TMIN, tsh, block_size=128, group_size=2))
+shadow_case("xla_b128_g8", lambda: traverse.any_hit_packets(
+    accel, osh, dsh, RAY_TMIN, tsh, block_size=128, group_size=8))
+shadow_case("fused_b128", lambda: pallas_anyhit.any_hit_fused(
+    accel, osh, dsh, RAY_TMIN, tsh, block_size=128, **ikw))
+if not smoke:
+    shadow_case("fused_b256", lambda: pallas_anyhit.any_hit_fused(
+        accel, osh, dsh, RAY_TMIN, tsh, block_size=256))
+log("shadow section complete")
+
+# ---- 2. e2e adoption A/B ------------------------------------------------
+if "--no-e2e" not in sys.argv and not smoke:
+    from path_tracer_ai_tpu.config import RenderSettings
+    from path_tracer_ai_tpu.engine import wavefront
+    from path_tracer_ai_tpu.scene.camera import default_camera
+
+    cam = default_camera()
+    settings = RenderSettings(width=1920, height=1080, samples_per_pixel=2,
+                              max_bounces=5, seed=0)
+    wave = 1 << 20
+
+    def e2e(tag, occ_kw):
+        wavefront.HYBRID_OCCLUDE_KW = occ_kw
+        wavefront.clear_executable_caches()
+        t0 = time.perf_counter()
+        wavefront.render(scene, cam, settings, accel=accel, block_size=64,
+                         wave_size=wave, backend="hybrid",
+                         accel_closest=accel_c)
+        warm_s = time.perf_counter() - t0
+        best = None
+        img = None
+        for _ in range(2):
+            stats = wavefront.RenderStats()
+            t0 = time.perf_counter()
+            img = wavefront.render(scene, cam, settings, accel=accel,
+                                   stats=stats, block_size=64,
+                                   wave_size=wave, backend="hybrid",
+                                   accel_closest=accel_c)
+            if best is None or stats.mrays_per_s > best[0]:
+                best = (stats.mrays_per_s, time.perf_counter() - t0)
+        assert np.isfinite(img).all()
+        emit(probe="e2e", config=tag, mrays=round(best[0], 2),
+             warm_s=round(warm_s, 1), render_s=round(best[1], 1))
+        return img
+
+    try:
+        img_a = e2e("shadow_packets_g2", dict(engine="packets",
+                                              group_size=2))
+        img_b = e2e("shadow_fused_b128", dict(engine="packets_fused"))
+        emit(probe="e2e_same_image",
+             identical=bool(np.array_equal(img_a, img_b)))
+        img_c = e2e("shadow_fused_b256", dict(engine="packets_fused",
+                                              block_size=256))
+        emit(probe="e2e_same_image_b256",
+             identical=bool(np.array_equal(img_a, img_c)))
+    except Exception as e:  # noqa: BLE001
+        emit(probe="e2e", error=str(e)[:300])
+
+log("probe J complete")

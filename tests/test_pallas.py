@@ -179,6 +179,60 @@ class TestCtilesPallasIntegration:
         self._check(tris, accel, o, d, cap=4, tile_blocks=4)
 
 
+class TestAnyHitFused:
+    """any_hit_fused — the fused Pallas shadow cascade — must bit-match
+    brute force and the XLA packet cascade (interpret mode on CPU).
+    Occlusion is exact per ray, so every blocking/grouping choice must
+    produce identical booleans."""
+
+    def _check(self, tris, accel, o, d, t_max):
+        from path_tracer_ai_tpu.accel.pallas_anyhit import any_hit_fused
+        from path_tracer_ai_tpu.accel.traverse import any_hit_packets
+        from path_tracer_ai_tpu.engine.intersect import any_hit
+
+        fa = any_hit_fused(accel, o, d, 1e-3, t_max, interpret=True)
+        tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                                    (o.shape[0],))
+        ba = any_hit(tris, o, d, 1e-3, tmax_arr)
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(ba))
+        if o.shape[0] % 64 == 0:
+            pa = any_hit_packets(accel, o, d, 1e-3, tmax_arr,
+                                 block_size=64, group_size=2)
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(pa))
+
+    def test_matches_bruteforce_and_packets(self, rng):
+        from tests.test_accel import random_rays, random_soup as soup
+
+        tris = soup(rng, 600)
+        accel = build_clusters(tris, cluster_size=16)
+        o, d = random_rays(rng, 256)
+        tmax = rng.uniform(0.5, 15.0, 256).astype(np.float32)
+        tmax[::4] = -1.0                   # dead lanes mixed in
+        self._check(tris, accel, o, d, jnp.asarray(tmax))
+
+    def test_unaligned_wave_and_scalar_tmax(self, rng):
+        """Wave size not a multiple of the block: pads internally."""
+        from tests.test_accel import random_rays, random_soup as soup
+
+        tris = soup(rng, 300)
+        accel = build_clusters(tris, cluster_size=128)
+        o, d = random_rays(rng, 173)
+        self._check(tris, accel, o, d, 9.0)
+
+    def test_all_dead_wave(self, rng):
+        from tests.test_accel import random_rays, random_soup as soup
+
+        tris = soup(rng, 200)
+        accel = build_clusters(tris, cluster_size=64)
+        o, d = random_rays(rng, 128)
+        from path_tracer_ai_tpu.accel.pallas_anyhit import any_hit_fused
+
+        fa = any_hit_fused(accel, o, d, 1e-3,
+                           jnp.full((128,), -1.0, jnp.float32),
+                           interpret=True)
+        assert not np.asarray(fa).any()
+
+
 def test_pallas_tile_sweep_matches_mt_sweep(rng):
     """Fused ctiles tile sweep (interpret mode) == the XLA dense sweep's
     per-slot results, including t_max masking, dead lanes, tri-id ties,
