@@ -55,9 +55,19 @@ def pack_tris_dummy(accel) -> jnp.ndarray:
     return jnp.pad(pack, ((0, 1), (0, 0), (0, 0)))
 
 
-def _anyhit_kernel(cid_ref, rays_ref, *refs):
-    """One grid step: one 128-ray block vs GROUP candidate clusters."""
-    del cid_ref  # consumed by the index_maps only
+def _anyhit_kernel(cid_ref, rays_ref, *refs, early_skip, dummy):
+    """One grid step: one 128-ray block vs GROUP candidate clusters.
+
+    early_skip=True recovers the 8-candidate granularity waste that made
+    g2 beat g8 on the XLA cascade: once every lane of the block is
+    occluded — or the next candidate is the dummy cluster (candidate
+    list exhausted) — the remaining clusters' MT compute is skipped via
+    pl.when (their DMAs are already prefetched; only vector work is
+    saved). The occlusion accumulator lives in the VMEM output block so
+    the skip predicate can read it back between clusters.
+    """
+    from jax.experimental import pallas as pl
+
     tri_refs = refs[:-1]
     out_ref = refs[-1]
 
@@ -67,8 +77,13 @@ def _anyhit_kernel(cid_ref, rays_ref, *refs):
     tmax = rays[6:7, :]
     tmin = rays[7:8, :]
 
+    i = pl.program_id(0)
+    if early_skip:
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
     acc = jnp.zeros_like(tmax)                            # [1, T] 0/1
-    for j in range(GROUP):
+
+    def sweep_cluster(j):
         trit = tri_refs[j][0].T                           # [S, 16]
         v0x, v0y, v0z = trit[:, 0:1], trit[:, 1:2], trit[:, 2:3]  # [S, 1]
         e1x, e1y, e1z = trit[:, 3:4], trit[:, 4:5], trit[:, 5:6]
@@ -95,15 +110,31 @@ def _anyhit_kernel(cid_ref, rays_ref, *refs):
         ok &= (t >= tmin) & (t <= tmax)
 
         okf = jnp.where(ok, 1.0, 0.0)                     # [S, T]
-        acc = jnp.maximum(acc, jnp.max(okf, axis=0, keepdims=True))
+        return jnp.max(okf, axis=0, keepdims=True)        # [1, T]
 
-    # Output blocks need (8, 128)-divisible trailing dims; broadcast the
-    # reduced row (the caller reads row 0).
-    out_ref[0] = jnp.broadcast_to(acc, out_ref.shape[1:])
+    if not early_skip:
+        for j in range(GROUP):
+            acc = jnp.maximum(acc, sweep_cluster(j))
+        # Output blocks need (8, 128)-divisible trailing dims; broadcast
+        # the reduced row (the caller reads row 0).
+        out_ref[0] = jnp.broadcast_to(acc, out_ref.shape[1:])
+        return
+
+    for j in range(GROUP):
+        cid_j = cid_ref[i * GROUP + j]
+        done = jnp.min(out_ref[0, 0, :]) >= 1.0
+
+        @pl.when((cid_j < dummy) & ~done)
+        def _():
+            row = sweep_cluster(j)
+            out_ref[0] = jnp.maximum(
+                out_ref[0], jnp.broadcast_to(row, out_ref.shape[1:])
+            )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def block_anyhit(tri_pack, rays_pack, cid8, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "early_skip"))
+def block_anyhit(tri_pack, rays_pack, cid8, interpret=False,
+                 early_skip=False):
     """Fused per-block any-hit: [size, 8, T] f32, row 0 = 1.0 where occluded.
 
     tri_pack [C+1, 16, S] (pack_tris_dummy), rays_pack [size, 8, T]
@@ -134,7 +165,11 @@ def block_anyhit(tri_pack, rays_pack, cid8, interpret=False):
         out_specs=pl.BlockSpec((1, 8, t_lanes), lambda i, cid: (i, 0, 0)),
     )
     return pl.pallas_call(
-        _anyhit_kernel,
+        functools.partial(
+            _anyhit_kernel,
+            early_skip=early_skip,
+            dummy=tri_pack.shape[0] - 1,
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((size, 8, t_lanes), jnp.float32),
         interpret=interpret,
@@ -146,7 +181,8 @@ def _next_pow2(x: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_size", "sort_mode", "interpret")
+    jax.jit,
+    static_argnames=("block_size", "sort_mode", "interpret", "early_skip"),
 )
 def any_hit_fused(
     accel,
@@ -157,6 +193,7 @@ def any_hit_fused(
     block_size: int = 128,
     sort_mode: str = "dir",
     interpret: bool = False,
+    early_skip: bool = False,
 ) -> jnp.ndarray:
     """Occlusion query over a wave via the fused Pallas cascade.
 
@@ -219,7 +256,8 @@ def any_hit_fused(
         (occ,) = carry
         kk = jnp.minimum(k, max_k)
         cid8 = ordg[:, kk].reshape(-1)
-        hit = block_anyhit(tri_pack, rays_pk, cid8, interpret=interpret)
+        hit = block_anyhit(tri_pack, rays_pk, cid8, interpret=interpret,
+                           early_skip=early_skip)
         return (occ | (hit[:, 0, :] > 0.0),)
 
     carry, blk_index = traverse._cascade_traverse(

@@ -124,9 +124,14 @@ shadow_case("xla_b128_g8", lambda: traverse.any_hit_packets(
     accel, osh, dsh, RAY_TMIN, tsh, block_size=128, group_size=8))
 shadow_case("fused_b128", lambda: pallas_anyhit.any_hit_fused(
     accel, osh, dsh, RAY_TMIN, tsh, block_size=128, **ikw))
+shadow_case("fused_b128_skip", lambda: pallas_anyhit.any_hit_fused(
+    accel, osh, dsh, RAY_TMIN, tsh, block_size=128, early_skip=True,
+    **ikw))
 if not smoke:
     shadow_case("fused_b256", lambda: pallas_anyhit.any_hit_fused(
         accel, osh, dsh, RAY_TMIN, tsh, block_size=256))
+    shadow_case("fused_b256_skip", lambda: pallas_anyhit.any_hit_fused(
+        accel, osh, dsh, RAY_TMIN, tsh, block_size=256, early_skip=True))
 log("shadow section complete")
 
 # ---- 2. e2e adoption A/B ------------------------------------------------
@@ -170,9 +175,9 @@ if "--no-e2e" not in sys.argv and not smoke:
         img_b = e2e("shadow_fused_b128", dict(engine="packets_fused"))
         emit(probe="e2e_same_image",
              identical=bool(np.array_equal(img_a, img_b)))
-        img_c = e2e("shadow_fused_b256", dict(engine="packets_fused",
-                                              block_size=256))
-        emit(probe="e2e_same_image_b256",
+        img_c = e2e("shadow_fused_skip", dict(engine="packets_fused",
+                                              early_skip=True))
+        emit(probe="e2e_same_image_skip",
              identical=bool(np.array_equal(img_a, img_c)))
     except Exception as e:  # noqa: BLE001
         emit(probe="e2e", error=str(e)[:300])

@@ -195,6 +195,9 @@ class TestAnyHitFused:
                                     (o.shape[0],))
         ba = any_hit(tris, o, d, 1e-3, tmax_arr)
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(ba))
+        fs = any_hit_fused(accel, o, d, 1e-3, t_max, interpret=True,
+                           early_skip=True)
+        np.testing.assert_array_equal(np.asarray(fs), np.asarray(ba))
         if o.shape[0] % 64 == 0:
             pa = any_hit_packets(accel, o, d, 1e-3, tmax_arr,
                                  block_size=64, group_size=2)
