@@ -122,7 +122,7 @@ def _anyhit_kernel(cid_ref, rays_ref, *refs, early_skip, dummy):
 
     for j in range(GROUP):
         cid_j = cid_ref[i * GROUP + j]
-        done = jnp.min(out_ref[0, 0, :]) >= 1.0
+        done = jnp.min(out_ref[0, 0:1, :]) >= 1.0
 
         @pl.when((cid_j < dummy) & ~done)
         def _():
