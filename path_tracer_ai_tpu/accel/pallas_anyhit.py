@@ -182,7 +182,9 @@ def _next_pow2(x: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_size", "sort_mode", "interpret", "early_skip"),
+    static_argnames=(
+        "block_size", "sort_mode", "interpret", "early_skip", "kernel_chunk",
+    ),
 )
 def any_hit_fused(
     accel,
@@ -194,6 +196,7 @@ def any_hit_fused(
     sort_mode: str = "dir",
     interpret: bool = False,
     early_skip: bool = False,
+    kernel_chunk: int = 8192,
 ) -> jnp.ndarray:
     """Occlusion query over a wave via the fused Pallas cascade.
 
@@ -254,11 +257,33 @@ def any_hit_fused(
     def sweep_update(k, blocks, carry):
         rays_pk, _nc, ordg = blocks
         (occ,) = carry
+        size = rays_pk.shape[0]
         kk = jnp.minimum(k, max_k)
-        cid8 = ordg[:, kk].reshape(-1)
-        hit = block_anyhit(tri_pack, rays_pk, cid8, interpret=interpret,
-                           early_skip=early_skip)
-        return (occ | (hit[:, 0, :] > 0.0),)
+        cid8 = ordg[:, kk]                                # [size, g]
+        kc = min(kernel_chunk, size)
+        if size <= kc:
+            hit = block_anyhit(tri_pack, rays_pk, cid8.reshape(-1),
+                               interpret=interpret, early_skip=early_skip)
+            return (occ | (hit[:, 0, :] > 0.0),)
+
+        # Bound the per-call scalar-prefetch array (SMEM) to kernel_chunk
+        # blocks; stage sizes are powers of two, so chunks divide exactly
+        # and every large stage reuses ONE kernel shape.
+        nch = size // kc
+
+        def body(i, occ_acc):
+            r_sl = jax.lax.dynamic_slice(
+                rays_pk, (i * kc, 0, 0), (kc, 8, block_size))
+            c_sl = jax.lax.dynamic_slice(
+                cid8, (i * kc, 0), (kc, g)).reshape(-1)
+            hit = block_anyhit(tri_pack, r_sl, c_sl, interpret=interpret,
+                               early_skip=early_skip)
+            o_sl = jax.lax.dynamic_slice(
+                occ_acc, (i * kc, 0), (kc, block_size))
+            return jax.lax.dynamic_update_slice(
+                occ_acc, o_sl | (hit[:, 0, :] > 0.0), (i * kc, 0))
+
+        return (jax.lax.fori_loop(0, nch, body, occ),)
 
     carry, blk_index = traverse._cascade_traverse(
         (rays_pack, n_cand, order_g),
