@@ -114,14 +114,41 @@ def main():
         jax.block_until_ready((hx, hp))
         tx = np.asarray(hx.t).view(np.int32)
         tp = np.asarray(hp.t).view(np.int32)
-        pallas_exact = bool(
+        closest_exact = bool(
             np.array_equal(tx, tp)
             and np.array_equal(np.asarray(hx.tri), np.asarray(hp.tri))
             and np.array_equal(np.asarray(hx.hit), np.asarray(hp.hit))
         )
+        pallas_exact = closest_exact
         log(f"pallas compiled-mode exactness ({nv} rays): {pallas_exact} "
             f"({time.perf_counter() - t0:.1f}s)")
-        if not pallas_exact:
+        # Same pin for the fused any-hit shadow cascade, when adopted.
+        if wavefront.HYBRID_OCCLUDE_KW.get("engine") == "packets_fused":
+            from path_tracer_ai_tpu.accel import pallas_anyhit, traverse
+
+            okw = wavefront.HYBRID_OCCLUDE_KW
+            tm_sh = jnp.asarray(
+                np.where(np.random.default_rng(1).random(nv) < 0.3, -1.0,
+                         8.0).astype(np.float32))
+            t0 = time.perf_counter()
+            ax = traverse.any_hit_packets(accel, o, d, RAY_TMIN, tm_sh,
+                                          block_size=64, group_size=2)
+            af = pallas_anyhit.any_hit_fused(
+                accel, o, d, RAY_TMIN, tm_sh,
+                block_size=okw.get("block_size", 128),
+                early_skip=okw.get("early_skip", False))
+            jax.block_until_ready((ax, af))
+            anyhit_exact = bool(np.array_equal(np.asarray(ax),
+                                               np.asarray(af)))
+            log(f"fused any-hit compiled-mode exactness ({nv} rays): "
+                f"{anyhit_exact} ({time.perf_counter() - t0:.1f}s)")
+            pallas_exact = pallas_exact and anyhit_exact
+            if not anyhit_exact:
+                log("WARNING: fused any-hit diverged — benching the XLA "
+                    "cascade shadow")
+                wavefront.HYBRID_OCCLUDE_KW = dict(engine="packets",
+                                                   group_size=2)
+        if not closest_exact:
             # Divergence is a real bug (images must stay bit-identical
             # across sweeps) — but the headline bench must still produce a
             # number, so demote the closest path to the XLA sweep and
