@@ -111,6 +111,31 @@ for fc_log2 in (13, 11, 9):
         emit(probe="closest_fc", fallback_compact=1 << fc_log2,
              error=str(e)[:300])
 
+# ---- 1b. cap / tile_chunk sweeps on the same anchor ---------------------
+for cap in (32, 64):
+    try:
+        dt, cs, hit = timeit(lambda: ctiles.closest_hit_ctiles(
+            accel_c, ob, db, RAY_TMIN, tmb, cap=cap, tile_chunk=2048,
+            use_pallas=not smoke, fallback_compact=1 << 13))
+        emit(probe="closest_cap", cap=cap, ms=round(dt * 1e3, 1),
+             mrays=round(live / dt / 1e6, 2), compile_s=round(cs, 1),
+             t_mismatch=int(jnp.sum(hit.t != ref.t)) if ref is not None
+             else None)
+    except Exception as e:  # noqa: BLE001
+        emit(probe="closest_cap", cap=cap, error=str(e)[:300])
+
+for tc in (4096, 8192):
+    try:
+        dt, cs, hit = timeit(lambda: ctiles.closest_hit_ctiles(
+            accel_c, ob, db, RAY_TMIN, tmb, cap=48, tile_chunk=tc,
+            use_pallas=not smoke, fallback_compact=1 << 13))
+        emit(probe="closest_tc", tile_chunk=tc, ms=round(dt * 1e3, 1),
+             mrays=round(live / dt / 1e6, 2), compile_s=round(cs, 1),
+             t_mismatch=int(jnp.sum(hit.t != ref.t)) if ref is not None
+             else None)
+    except Exception as e:  # noqa: BLE001
+        emit(probe="closest_tc", tile_chunk=tc, error=str(e)[:300])
+
 # ---- 2. isolated outro pieces ------------------------------------------
 # 2a. packed unsort scatter at wave scale (3 payload cols, like closest)
 perm = jnp.asarray(rng.permutation(N).astype(np.int32))
@@ -155,7 +180,7 @@ for k_log2 in (13, 11, 9):
 
 # ---- 3. actual overflow population at cap=48 ----------------------------
 @jax.jit
-def overflow_count(o, d, tm):
+def union_stats(o, d, tm):
     o_blk, d_blk, tm_blk, _perm, _npad = worklist._prepare_blocks(
         accel_c, o, d, tm, 8, True, "octorig")
     n_live = jnp.sum((tm >= 0.0).astype(jnp.int32))
@@ -163,11 +188,23 @@ def overflow_count(o, d, tm):
     cand, n_cand = ctiles._ray_masks(
         accel_c, o_blk, d_blk, tm_blk, RAY_TMIN, 1 << 11, live_blocks=lb)
     over = n_cand > 48
-    return jnp.sum(over.astype(jnp.int32)), jnp.max(n_cand)
+    alive = n_cand > 0
+    ncs = jnp.sort(jnp.where(alive, n_cand, -1))
+    na = jnp.sum(alive.astype(jnp.int32))
+    nb_tot = n_cand.shape[0]
+
+    def q(p):
+        return ncs[jnp.clip(nb_tot - na + (na * p).astype(jnp.int32),
+                            0, nb_tot - 1)]
+
+    return (jnp.sum(over.astype(jnp.int32)), jnp.max(n_cand),
+            q(0.5), q(0.9), q(0.99),
+            jnp.sum(jnp.where(alive, n_cand, 0)) / jnp.maximum(na, 1))
 
 
-nover, maxc = overflow_count(ob, db, tmb)
+nover, maxc, p50, p90, p99, mean_u = union_stats(ob, db, tmb)
 emit(probe="overflow_pop", blocks_over_cap48=int(nover),
-     rays_over=int(nover) * 8, max_union=int(maxc))
+     rays_over=int(nover) * 8, max_union=int(maxc), p50=int(p50),
+     p90=int(p90), p99=int(p99), mean=round(float(mean_u), 1))
 
 log("probe K complete")
