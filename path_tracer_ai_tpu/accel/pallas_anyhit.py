@@ -184,6 +184,7 @@ def _next_pow2(x: int) -> int:
     jax.jit,
     static_argnames=(
         "block_size", "sort_mode", "interpret", "early_skip", "kernel_chunk",
+        "sort",
     ),
 )
 def any_hit_fused(
@@ -197,6 +198,7 @@ def any_hit_fused(
     interpret: bool = False,
     early_skip: bool = False,
     kernel_chunk: int = 8192,
+    sort: bool = True,
 ) -> jnp.ndarray:
     """Occlusion query over a wave via the fused Pallas cascade.
 
@@ -204,6 +206,12 @@ def any_hit_fused(
     never affects the result). Accepts any wave size: rays pad to a
     power-of-two block count (>= 32 blocks) with dead lanes that sort to
     the end and retire in the first compaction.
+
+    sort=False skips the coherence sort AND the unsort scatter (~75ms of
+    row movement per 4M-ray wave): in-render shadow waves arrive
+    light-major with consecutive lanes = neighboring compacted pixels, so
+    blocks are already origin/direction coherent, and the cull's
+    live-masked bounds keep interleaved dead lanes from widening them.
     """
     n0 = origins.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n0,))
@@ -217,13 +225,16 @@ def any_hit_fused(
         )
         t_max = jnp.pad(t_max, (0, n - n0), constant_values=-1.0)
 
-    keys = traverse._sort_keys(accel, origins, directions, t_max,
-                               mode=sort_mode)
-    perm = jnp.argsort(keys).astype(jnp.int32)
-    packed = jnp.concatenate(
-        [origins, directions, t_max[:, None]], axis=1
-    )[perm]
-    origins, directions, t_max = packed[:, 0:3], packed[:, 3:6], packed[:, 6]
+    if sort:
+        keys = traverse._sort_keys(accel, origins, directions, t_max,
+                                   mode=sort_mode)
+        perm = jnp.argsort(keys).astype(jnp.int32)
+        packed = jnp.concatenate(
+            [origins, directions, t_max[:, None]], axis=1
+        )[perm]
+        origins, directions, t_max = (
+            packed[:, 0:3], packed[:, 3:6], packed[:, 6]
+        )
 
     o_blk = origins.reshape(nb, block_size, 3)
     d_blk = directions.reshape(nb, block_size, 3)
@@ -292,5 +303,6 @@ def any_hit_fused(
         active_fn,
     )
     occluded = traverse._unpermute_blocks(carry[0], blk_index).reshape(n)
-    out = jnp.zeros((n,), bool).at[perm].set(occluded)
-    return out[:n0]
+    if sort:
+        occluded = jnp.zeros((n,), bool).at[perm].set(occluded)
+    return occluded[:n0]

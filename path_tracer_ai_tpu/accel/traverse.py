@@ -162,9 +162,9 @@ def _ray_block_bounds(o_blk, d_blk, live=None):
     )
 
 
-def _block_interval_bounds(accel, o_blk, d_blk):
+def _block_interval_bounds(accel, o_blk, d_blk, live=None):
     """Block bounds vs ALL cluster AABBs (compat wrapper)."""
-    olo, ohi, dlo, dhi = _ray_block_bounds(o_blk, d_blk)
+    olo, ohi, dlo, dhi = _ray_block_bounds(o_blk, d_blk, live=live)
     return _interval_slab(accel.bmin, accel.bmax, olo, ohi, dlo, dhi)
 
 
@@ -181,8 +181,16 @@ def _block_candidates(accel, o_blk, d_blk, t_max_blk):
     max_a LB_a <= max_a entry_a(r) and min_a UB_a >= min_a exit_a(r); if a
     member ray intersects the slab (max_a entry < min_a exit, aabb.hpp:21),
     the conservative test max_a LB_a <= min_a UB_a also passes.
+
+    DEAD lanes (t_max < 0) are excluded from the block bounds: they carry
+    pinned placeholder rays (direct_lighting pins inactive lanes to
+    origin 0 / +x) that would otherwise widen a mixed block's frustum to
+    span the placeholder point — the measured cause of the unsorted-wave
+    candidate blowup. Exact: dead lanes produce no intersections, so
+    shrinking the bounds to live lanes never drops a reachable cluster.
     """
-    lb, ub = _block_interval_bounds(accel, o_blk, d_blk)
+    lb, ub = _block_interval_bounds(accel, o_blk, d_blk,
+                                    live=t_max_blk >= 0.0)
     tmax_ub = jnp.max(t_max_blk, axis=1)  # [B]
     inf = jnp.float32(jnp.inf)
 

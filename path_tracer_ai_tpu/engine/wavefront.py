@@ -233,7 +233,8 @@ def packet_backend(
             # because occlusion is exact under any blocking.
             fkw = dict(block_size=okw.get("block_size", 128),
                        sort_mode=okw.get("sort_mode", "dir"),
-                       early_skip=okw.get("early_skip", False))
+                       early_skip=okw.get("early_skip", False),
+                       sort=okw.get("sort", True))
             if jax.default_backend() == "tpu" or okw.get("interpret", False):
                 from path_tracer_ai_tpu.accel import pallas_anyhit
 

@@ -118,6 +118,12 @@ def shadow_case(tag, fn):
 
 shadow_case("xla_b64_g2", lambda: traverse.any_hit_packets(
     accel, osh, dsh, RAY_TMIN, tsh, block_size=64, group_size=2))
+# unsorted control: live-masked block bounds should fix the round-2
+# catastrophe (0.35 Mrays/s) caused by dead placeholder lanes widening
+# mixed blocks' frusta
+shadow_case("xla_b64_g2_nosort", lambda: traverse.any_hit_packets(
+    accel, osh, dsh, RAY_TMIN, tsh, block_size=64, group_size=2,
+    sort=False))
 shadow_case("xla_b128_g2", lambda: traverse.any_hit_packets(
     accel, osh, dsh, RAY_TMIN, tsh, block_size=128, group_size=2))
 shadow_case("xla_b128_g8", lambda: traverse.any_hit_packets(
@@ -127,11 +133,34 @@ shadow_case("fused_b128", lambda: pallas_anyhit.any_hit_fused(
 shadow_case("fused_b128_skip", lambda: pallas_anyhit.any_hit_fused(
     accel, osh, dsh, RAY_TMIN, tsh, block_size=128, early_skip=True,
     **ikw))
+shadow_case("fused_b128_skip_nosort", lambda: pallas_anyhit.any_hit_fused(
+    accel, osh, dsh, RAY_TMIN, tsh, block_size=128, early_skip=True,
+    sort=False, **ikw))
 if not smoke:
     shadow_case("fused_b256", lambda: pallas_anyhit.any_hit_fused(
         accel, osh, dsh, RAY_TMIN, tsh, block_size=256))
     shadow_case("fused_b256_skip", lambda: pallas_anyhit.any_hit_fused(
         accel, osh, dsh, RAY_TMIN, tsh, block_size=256, early_skip=True))
+
+    # isolated sort/unsort costs at this wave size (what sort=False saves)
+    @jax.jit
+    def sort_cost(o, d, tm):
+        keys = traverse._sort_keys(accel, o, d, tm, mode="dir")
+        perm = jnp.argsort(keys).astype(jnp.int32)
+        packed = jnp.concatenate([o, d, tm[:, None]], axis=1)[perm]
+        return packed, perm
+
+    dt, cs, (_, perm_m) = timeit(lambda: sort_cost(osh, dsh, tsh))
+    emit(probe="sort_cost", ms=round(dt * 1e3, 1), compile_s=round(cs, 1))
+
+    occ_m = ref_occ
+
+    @jax.jit
+    def unsort_cost(perm, occ):
+        return jnp.zeros_like(occ).at[perm].set(occ)
+
+    dt, cs, _ = timeit(lambda: unsort_cost(perm_m, occ_m))
+    emit(probe="unsort_cost", ms=round(dt * 1e3, 1), compile_s=round(cs, 1))
 log("shadow section complete")
 
 # ---- 2. e2e adoption A/B ------------------------------------------------
@@ -179,6 +208,11 @@ if "--no-e2e" not in sys.argv and not smoke:
                                               early_skip=True))
         emit(probe="e2e_same_image_skip",
              identical=bool(np.array_equal(img_a, img_c)))
+        img_d = e2e("shadow_fused_skip_nosort",
+                    dict(engine="packets_fused", early_skip=True,
+                         sort=False))
+        emit(probe="e2e_same_image_nosort",
+             identical=bool(np.array_equal(img_a, img_d)))
     except Exception as e:  # noqa: BLE001
         emit(probe="e2e", error=str(e)[:300])
 

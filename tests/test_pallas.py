@@ -202,6 +202,10 @@ class TestAnyHitFused:
         fc = any_hit_fused(accel, o, d, 1e-3, t_max, interpret=True,
                            kernel_chunk=8)
         np.testing.assert_array_equal(np.asarray(fc), np.asarray(ba))
+        # unsorted path (live-masked block bounds) must be identical
+        fn = any_hit_fused(accel, o, d, 1e-3, t_max, interpret=True,
+                           sort=False, early_skip=True)
+        np.testing.assert_array_equal(np.asarray(fn), np.asarray(ba))
         if o.shape[0] % 64 == 0:
             pa = any_hit_packets(accel, o, d, 1e-3, tmax_arr,
                                  block_size=64, group_size=2)
