@@ -12,6 +12,35 @@ import runpy
 import sys
 import time
 
+
+def tlog(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
+# Fine-grained init logging: localize WHERE a wedged tunnel hangs a
+# client (plugin load vs first device op vs first D2H).
+tlog("importing jax")
+import jax  # noqa: E402
+
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # noqa: BLE001
+    pass
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+tlog("creating backend (jax.devices)")
+tlog(f"devices: {jax.devices()}")
+tlog("first device op (jnp.zeros)")
+jnp.zeros(()).block_until_ready()
+tlog("first D2H pull")
+_ = np.asarray(jnp.ones((8,), jnp.float32))
+tlog("init complete")
+
 args = [a for a in sys.argv[1:]]
 
 for name in ("probe_r3j", "probe_r3k"):
