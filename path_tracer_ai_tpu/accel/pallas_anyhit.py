@@ -77,10 +77,6 @@ def _anyhit_kernel(cid_ref, rays_ref, *refs, early_skip, dummy):
     tmax = rays[6:7, :]
     tmin = rays[7:8, :]
 
-    i = pl.program_id(0)
-    if early_skip:
-        out_ref[0] = jnp.zeros_like(out_ref[0])
-
     acc = jnp.zeros_like(tmax)                            # [1, T] 0/1
 
     def sweep_cluster(j):
@@ -120,6 +116,8 @@ def _anyhit_kernel(cid_ref, rays_ref, *refs, early_skip, dummy):
         out_ref[0] = jnp.broadcast_to(acc, out_ref.shape[1:])
         return
 
+    i = pl.program_id(0)
+    out_ref[0] = jnp.zeros_like(out_ref[0])
     for j in range(GROUP):
         cid_j = cid_ref[i * GROUP + j]
         done = jnp.min(out_ref[0, 0:1, :]) >= 1.0
