@@ -109,6 +109,68 @@ class TestTraversalExactness:
         ba = any_hit(tris, o, d, 1e-3, tmax)
         np.testing.assert_array_equal(np.asarray(pa), np.asarray(ba))
 
+    def test_dead_lanes_excluded_from_block_bounds(self, rng):
+        """Mixed blocks must bound only LIVE lanes: dead lanes carry
+        pinned placeholder rays (origin 0 / +x, as direct_lighting pins
+        them) which, if included, widen the frustum to span the
+        placeholder point — the round-2 unsorted-shadow catastrophe.
+        Pins both the candidate-count property and exactness."""
+        from path_tracer_ai_tpu.accel.traverse import _block_candidates
+
+        # Geometry far from the origin so a placeholder-widened frustum
+        # would sweep in extra clusters.
+        tris = random_soup(rng, 400, spread=3.0)
+        v0 = np.asarray(tris.v0) + np.float32(50.0)
+        v1 = np.asarray(tris.v1) + np.float32(50.0)
+        v2 = np.asarray(tris.v2) + np.float32(50.0)
+        n = np.tile([[0, 1, 0]], (400, 1)).astype(np.float32)
+        uv = np.zeros((400, 2), np.float32)
+        from path_tracer_ai_tpu.core.types import triangles_from_numpy
+
+        tris = triangles_from_numpy(v0, v0 + (v1 - v0), v0 + (v2 - v0),
+                                    n, n, n, uv, uv, uv,
+                                    np.zeros(400, np.int32))
+        accel = build_clusters(tris, cluster_size=16)
+
+        # One live ray aimed through the blob (strictly nonzero direction
+        # components — a zero component makes the interval slab
+        # conservatively unbounded on that axis regardless of this fix)
+        # + 63 dead placeholder lanes.
+        o = np.zeros((64, 3), np.float32)
+        d = np.tile([[1.0, 0.0, 0.0]], (64, 1)).astype(np.float32)
+        o[0] = [44.0, 45.0, 46.0]
+        dv = np.asarray([6.0, 5.0, 4.0], np.float32)
+        d[0] = dv / np.linalg.norm(dv)
+        tm = np.full(64, -1.0, np.float32)
+        tm[0] = 100.0
+
+        o_blk = jnp.asarray(o)[None]
+        d_blk = jnp.asarray(d)[None]
+        tm_blk = jnp.asarray(tm)[None]
+        _order, n_cand, _entry = _block_candidates(
+            accel, o_blk, d_blk, tm_blk)
+        # per-ray slab of the single live ray vs every cluster AABB
+        bmin = np.asarray(accel.bmin)
+        bmax = np.asarray(accel.bmax)
+        t0 = (bmin - o[0]) / d[0][None]
+        t1 = (bmax - o[0]) / d[0][None]
+        near = np.max(np.minimum(t0, t1), axis=1)
+        far = np.min(np.maximum(t0, t1), axis=1)
+        exact = int(np.sum((far >= np.maximum(near, 0.0)) & (near <= 100.0)))
+        # The interval slab of a SINGLE live ray degenerates to that
+        # ray's exact slab; dead placeholder lanes must not widen it
+        # back to ~every cluster.
+        assert int(n_cand[0]) <= exact + 1, (
+            int(n_cand[0]), exact, accel.num_clusters)
+        assert int(n_cand[0]) < accel.num_clusters
+
+        # exactness unchanged: the live ray's hit must match brute force
+        pa = any_hit_packets(accel, jnp.asarray(o), jnp.asarray(d), 1e-3,
+                             jnp.asarray(tm), block_size=64, sort=False)
+        ba = any_hit(tris, jnp.asarray(o), jnp.asarray(d), 1e-3,
+                     jnp.asarray(tm))
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(ba))
+
     def test_incoherent_rays_mixed_octants(self, rng):
         """Direction intervals spanning zero -> conservative path."""
         tris = random_soup(rng, 300)
