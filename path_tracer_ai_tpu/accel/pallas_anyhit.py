@@ -118,9 +118,13 @@ def _anyhit_kernel(cid_ref, rays_ref, *refs, early_skip, dummy):
 
     i = pl.program_id(0)
     out_ref[0] = jnp.zeros_like(out_ref[0])
+    # Dead lanes (t_max < 0) can never be occluded; count them as done
+    # or mixed blocks would never trigger the skip.
+    deadf = jnp.where(tmax < 0.0, 1.0, 0.0)                  # [1, T]
     for j in range(GROUP):
         cid_j = cid_ref[i * GROUP + j]
-        done = jnp.min(out_ref[0, 0:1, :]) >= 1.0
+        done = jnp.min(
+            jnp.maximum(out_ref[0, 0:1, :], deadf)) >= 1.0
 
         @pl.when((cid_j < dummy) & ~done)
         def _():
@@ -259,9 +263,14 @@ def any_hit_fused(
                                 t_min=t_min)
 
     def active_fn(k, blocks, carry):
-        nc = blocks[1]
+        # Dead lanes (t_max < 0, rays row 6) can never be occluded and
+        # must count as resolved, or a mixed block would only retire by
+        # candidate exhaustion — fatal for unsorted waves where nearly
+        # every block holds some dead lanes.
+        rays_pk, nc = blocks[:2]
         occ = carry[0]
-        return (k * g < nc) & ~jnp.all(occ, axis=1)
+        resolved = occ | (rays_pk[:, 6, :] < 0.0)
+        return (k * g < nc) & ~jnp.all(resolved, axis=1)
 
     def sweep_update(k, blocks, carry):
         rays_pk, _nc, ordg = blocks

@@ -720,16 +720,21 @@ def any_hit_packets(
     max_k = c_pad // g - 1
 
     def active_fn(k, blocks, carry):
-        nc = blocks[3]
+        # Dead lanes (t_max < 0) can never be occluded and count as
+        # resolved — otherwise a mixed block retires only by candidate
+        # exhaustion (sorted waves mix only at the live/dead boundary
+        # block; unsorted waves mix everywhere).
+        tb, nc = blocks[2], blocks[3]
         occ = carry[0]
-        return (k * g < nc) & ~jnp.all(occ, axis=1)
+        resolved = occ | (tb < 0.0)
+        return (k * g < nc) & ~jnp.all(resolved, axis=1)
 
     def sweep_update(k, blocks, carry):
         ob, db, tb, nc, ordg = blocks
         (occ,) = carry
         size = ob.shape[0]
         cid = ordg[:, jnp.minimum(k, max_k)]        # [size, g]
-        blk_on = (k * g < nc) & ~jnp.all(occ, axis=1)
+        blk_on = (k * g < nc) & ~jnp.all(occ | (tb < 0.0), axis=1)
         cv0 = accel.v0[cid].reshape(size, -1, 3)
         ce1 = accel.e1[cid].reshape(size, -1, 3)
         ce2 = accel.e2[cid].reshape(size, -1, 3)
