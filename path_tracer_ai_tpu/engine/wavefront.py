@@ -219,7 +219,8 @@ def packet_backend(
             # shadow waves vs the g8 default).
             pkw = dict(block_size=okw.get("block_size", block_size),
                        group_size=okw.get("group_size", 8),
-                       sort_mode=okw.get("sort_mode", "dir"))
+                       sort_mode=okw.get("sort_mode", "dir"),
+                       sort=okw.get("sort", True))
 
             def occlude(o, d, t_max):
                 return traverse.any_hit_packets(

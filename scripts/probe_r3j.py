@@ -201,6 +201,13 @@ if "--no-e2e" not in sys.argv and not smoke:
     try:
         img_a = e2e("shadow_packets_g2", dict(engine="packets",
                                               group_size=2))
+        # probe N (CPU): at b64 the real wave's pixel order equals the
+        # dir sort in candidate volume — nosort drops ~75ms/wave of
+        # sort+unsort row movement for free if this holds e2e
+        img_n = e2e("shadow_packets_g2_nosort",
+                    dict(engine="packets", group_size=2, sort=False))
+        emit(probe="e2e_same_image_xla_nosort",
+             identical=bool(np.array_equal(img_a, img_n)))
         img_b = e2e("shadow_fused_b128", dict(engine="packets_fused"))
         emit(probe="e2e_same_image",
              identical=bool(np.array_equal(img_a, img_b)))
