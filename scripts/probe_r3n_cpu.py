@@ -134,3 +134,72 @@ stats("b128_dir", 128, True)
 stats("b64_nosort", 64, False)
 stats("b128_nosort", 128, False)
 stats("b256_nosort", 256, False)
+
+# ---- bounce-1 shadow wave: diffuse-sampled directions, compacted lane
+# order (order-preserving, like the engine's live-lane compaction) ------
+rng = np.random.default_rng(7)
+alive_idx = np.flatnonzero(np.asarray(active))
+pos1 = np.asarray(position)[alive_idx]
+nrm1 = np.asarray(normal)[alive_idx]
+# cosine-weighted hemisphere around the normal
+r1 = rng.random(len(alive_idx)).astype(np.float32)
+r2 = rng.random(len(alive_idx)).astype(np.float32)
+phi = 2.0 * np.pi * r1
+sq = np.sqrt(r2)
+local = np.stack([np.cos(phi) * sq, np.sin(phi) * sq,
+                  np.sqrt(np.maximum(0.0, 1.0 - r2))], axis=1)
+up = np.where(np.abs(nrm1[:, 2:3]) < 0.9,
+              np.tile([[0.0, 0.0, 1.0]], (len(alive_idx), 1)),
+              np.tile([[1.0, 0.0, 0.0]], (len(alive_idx), 1))).astype(np.float32)
+tx = np.cross(up, nrm1)
+tx /= np.maximum(np.linalg.norm(tx, axis=1, keepdims=True), 1e-20)
+ty = np.cross(nrm1, tx)
+d1 = (local[:, 0:1] * tx + local[:, 1:2] * ty
+      + local[:, 2:3] * nrm1).astype(np.float32)
+o1 = (pos1 + nrm1 * 1e-3).astype(np.float32)
+
+t0 = time.perf_counter()
+pad1 = (-len(alive_idx)) % 256
+o1p = np.pad(o1, ((0, pad1), (0, 0)))
+d1p = np.pad(d1, ((0, pad1), (0, 0)), constant_values=1.0)
+tm1p = np.full(len(alive_idx) + pad1, np.inf, np.float32)
+tm1p[len(alive_idx):] = -1.0
+hit1 = traverse.closest_hit_packets(
+    accel, jnp.asarray(o1p), jnp.asarray(d1p), RAY_TMIN,
+    jnp.asarray(tm1p), block_size=256, sort=True)
+hit1 = hit1._replace(hit=hit1.hit[:len(alive_idx)],
+                     t=hit1.t[:len(alive_idx)],
+                     tri=hit1.tri[:len(alive_idx)])
+jax.block_until_ready(hit1.t)
+emit(probe="bounce1", rays=len(alive_idx), hits=int(jnp.sum(hit1.hit)),
+     wall_s=round(time.perf_counter() - t0, 1))
+
+# compact to live lanes (order-preserving) and build the shadow wave
+alive2 = np.asarray(hit1.hit)
+idx2 = np.flatnonzero(alive2)
+t2 = np.asarray(hit1.t)[idx2]
+tri2 = np.asarray(hit1.tri)[idx2]
+attrs2 = isect.hit_attributes(
+    scene.triangles, jnp.asarray(o1[idx2]), jnp.asarray(d1[idx2]),
+    jnp.asarray(t2), jnp.asarray(tri2))
+pos2 = attrs2.position
+nrm2 = attrs2.normal
+m2 = scene.materials.mtype[attrs2.mat_id]
+nl2 = pos2.shape[0]
+lv2 = lights_pos[:, None, :] - pos2[None, :, :]
+dist2 = vec.length(lv2)
+ld2 = lv2 / jnp.maximum(dist2, 1e-30)[..., None]
+cos2 = jnp.maximum(vec.dot(nrm2[None], ld2), 0.0)
+contrib2 = (cos2 > 0.0) & (m2 != MATERIAL_DIELECTRIC)[None]
+tm2 = jnp.where(contrib2, dist2 - 1e-3, -1.0)
+osh = jnp.broadcast_to((pos2 + nrm2 * 1e-3)[None],
+                       (n_lights, nl2, 3)).reshape(-1, 3)
+dsh = ld2.reshape(-1, 3)
+tsh = tm2.reshape(-1)
+live = int(jnp.sum(tsh >= 0))
+emit(probe="shadow_wave_b1", rays=int(tsh.shape[0]), live=live)
+
+stats("b1_b64_dir", 64, True)
+stats("b1_b64_nosort", 64, False)
+stats("b1_b128_dir", 128, True)
+stats("b1_b128_nosort", 128, False)
