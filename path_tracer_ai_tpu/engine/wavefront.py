@@ -64,6 +64,13 @@ WORKLIST_OCCLUDE_KW = dict(sort=False)
 # same-session A/B, images bit-identical). Smaller retirement groups let
 # finished 2-ray groups exit the cascade earlier than g8's 8-ray granules.
 HYBRID_OCCLUDE_KW = dict(engine="packets", group_size=2)
+# Probe N (CPU, full scale): bounce-0 shadow waves in natural pixel-order
+# lane layout have block unions EQUAL to dir-sorted ones (4653 vs 4637
+# candidate-tris/ray) — the coherence sort buys nothing there and its
+# sort+unsort row movement can be skipped. Bounce >= 1 origins are
+# diffuse-scattered and MUST stay sorted (unsorted: 91.7k vs 12.4k).
+# Opt-in until the on-chip e2e A/B lands (probe J).
+SHADOW_NOSORT_BOUNCE0 = False
 KSLOTS_CLOSEST_KW = dict(k_supers=6, k_clusters=12)
 KSLOTS_OCCLUDE_KW = dict(k_supers=6, k_clusters=8)
 # fallback_compact SMALL: the compact overflow fallback costs its STATIC
@@ -101,6 +108,7 @@ def packet_backend(
     interpret: bool = False,
     backend: Optional[str] = None,
     accel_closest: Optional[ClusterAccel] = None,
+    occlude_sort: Optional[bool] = None,
 ):
     """Traversal backend over the cluster structure.
 
@@ -220,7 +228,8 @@ def packet_backend(
             pkw = dict(block_size=okw.get("block_size", block_size),
                        group_size=okw.get("group_size", 8),
                        sort_mode=okw.get("sort_mode", "dir"),
-                       sort=okw.get("sort", True))
+                       sort=okw.get("sort", True)
+                       if occlude_sort is None else occlude_sort)
 
             def occlude(o, d, t_max):
                 return traverse.any_hit_packets(
@@ -235,7 +244,8 @@ def packet_backend(
             fkw = dict(block_size=okw.get("block_size", 128),
                        sort_mode=okw.get("sort_mode", "dir"),
                        early_skip=okw.get("early_skip", False),
-                       sort=okw.get("sort", True))
+                       sort=okw.get("sort", True)
+                       if occlude_sort is None else occlude_sort)
             if jax.default_backend() == "tpu" or okw.get("interpret", False):
                 from path_tracer_ai_tpu.accel import pallas_anyhit
 
@@ -431,7 +441,7 @@ def _wave_exe(**statics):
 
 
 @functools.lru_cache(maxsize=None)
-def _bounce_exe(block_size, use_pallas, backend):
+def _bounce_exe(block_size, use_pallas, backend, occlude_sort=None):
     """One bounce-step executable per traversal config (see _wave_exe).
 
     The bounce loop runs at HOST level (render drives one jit call per
@@ -441,13 +451,17 @@ def _bounce_exe(block_size, use_pallas, backend):
     — irrelevant against 100ms+ waves. Host stepping also reuses ONE
     executable across bounces, waves, and sample passes (depth is a
     traced scalar), and gives per-bounce timing for free.
+
+    occlude_sort: per-bounce shadow-sort override (SHADOW_NOSORT_BOUNCE0
+    compiles ONE extra executable for depth 0; bounce 0 always runs at
+    the full-wave bucket, so this costs a single trace).
     """
 
     def one_bounce(scene, accel, accel_c, o, d, beta, radiance, alive,
                    keys, depth):
         closest, occlude = packet_backend(
             accel, block_size, use_pallas=use_pallas, backend=backend,
-            accel_closest=accel_c,
+            accel_closest=accel_c, occlude_sort=occlude_sort,
         )
         return tracer.bounce_step(
             scene, closest, occlude, o, d, beta, radiance, alive, keys,
@@ -516,6 +530,10 @@ def _render_wave(
     radiance = jnp.zeros((n, 3), jnp.float32)
     alive = jnp.ones((n,), bool)
     bounce = _bounce_exe(block_size, use_pallas, backend)
+    bounce0 = (
+        _bounce_exe(block_size, use_pallas, backend, occlude_sort=False)
+        if SHADOW_NOSORT_BOUNCE0 else bounce
+    )
     if accel_c is None:
         accel_c = accel
     ncs, nss = [], []
@@ -560,7 +578,9 @@ def _render_wave(
         if _BOUNCE_TIMING:
             jax.block_until_ready((o, d, beta, radiance))
             t_b = time.perf_counter()
-        o, d, beta, radiance, alive, nc_i, ns_i = bounce(
+        o, d, beta, radiance, alive, nc_i, ns_i = (
+            bounce0 if depth == 0 else bounce
+        )(
             scene, accel, accel_c, o, d, beta, radiance, alive, keys,
             jnp.int32(depth),
         )

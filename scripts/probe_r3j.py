@@ -220,6 +220,15 @@ if "--no-e2e" not in sys.argv and not smoke:
                          sort=False))
         emit(probe="e2e_same_image_nosort",
              identical=bool(np.array_equal(img_a, img_d)))
+        # bounce-0-only nosort (probe N: bounce-0 pixel order == dir sort)
+        wavefront.SHADOW_NOSORT_BOUNCE0 = True
+        try:
+            img_e = e2e("shadow_g2_nosort_b0",
+                        dict(engine="packets", group_size=2))
+        finally:
+            wavefront.SHADOW_NOSORT_BOUNCE0 = False
+        emit(probe="e2e_same_image_nosort_b0",
+             identical=bool(np.array_equal(img_a, img_e)))
     except Exception as e:  # noqa: BLE001
         emit(probe="e2e", error=str(e)[:300])
 

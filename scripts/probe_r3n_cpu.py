@@ -96,7 +96,7 @@ live = int(jnp.sum(tsh >= 0))
 emit(probe="shadow_wave", rays=int(tsh.shape[0]), live=live)
 
 
-def stats(tag, bs, sort):
+def stats(tag, bs, sort, mode="dir"):
     t0 = time.perf_counter()
     o_, d_, tm = osh, dsh, tsh
     n = o_.shape[0]
@@ -106,7 +106,7 @@ def stats(tag, bs, sort):
         d_ = jnp.pad(d_, ((0, pad), (0, 0)), constant_values=1.0)
         tm = jnp.pad(tm, (0, pad), constant_values=-1.0)
     if sort:
-        keys = traverse._sort_keys(accel, o_, d_, tm, mode="dir")
+        keys = traverse._sort_keys(accel, o_, d_, tm, mode=mode)
         perm = jnp.argsort(keys).astype(jnp.int32)
         packed = jnp.concatenate([o_, d_, tm[:, None]], axis=1)[perm]
         o_, d_, tm = packed[:, 0:3], packed[:, 3:6], packed[:, 6]
@@ -203,3 +203,10 @@ stats("b1_b64_dir", 64, True)
 stats("b1_b64_nosort", 64, False)
 stats("b1_b128_dir", 128, True)
 stats("b1_b128_nosort", 128, False)
+# origin-led keys: shadow rays to a shared light from nearby origins
+# have similar directions, so origin coherence may beat dir coherence
+# on scattered bounce-1 origins
+stats("b1_b64_origin", 64, True, mode="origin")
+stats("b1_b128_origin", 128, True, mode="origin")
+stats("b1_b64_octorig", 64, True, mode="octorig")
+stats("b1_b128_octorig", 128, True, mode="octorig")
