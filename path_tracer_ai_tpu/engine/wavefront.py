@@ -71,6 +71,11 @@ HYBRID_OCCLUDE_KW = dict(engine="packets", group_size=2)
 # diffuse-scattered and MUST stay sorted (unsorted: 91.7k vs 12.4k).
 # Opt-in until the on-chip e2e A/B lands (probe J).
 SHADOW_NOSORT_BOUNCE0 = False
+# Same finding for bounce-0 CLOSEST waves (measured: identical b8 union
+# populations, sum 300688 both ways at 960x540): primary rays in pixel
+# order need no octorig sort — skipping drops the prepare argsort+gather
+# and the outro unsort scatter from the primary wave.
+CLOSEST_NOSORT_BOUNCE0 = False
 KSLOTS_CLOSEST_KW = dict(k_supers=6, k_clusters=12)
 KSLOTS_OCCLUDE_KW = dict(k_supers=6, k_clusters=8)
 # fallback_compact SMALL: the compact overflow fallback costs its STATIC
@@ -109,6 +114,7 @@ def packet_backend(
     backend: Optional[str] = None,
     accel_closest: Optional[ClusterAccel] = None,
     occlude_sort: Optional[bool] = None,
+    closest_sort: Optional[bool] = None,
 ):
     """Traversal backend over the cluster structure.
 
@@ -210,6 +216,8 @@ def packet_backend(
         ckw = dict(CTILES_CLOSEST_KW)
         if "use_pallas" not in ckw:
             ckw["use_pallas"] = jax.default_backend() == "tpu"
+        if closest_sort is not None:
+            ckw["sort"] = closest_sort
 
         def closest(o, d, t_min, t_max):
             return ctiles.closest_hit_ctiles(
@@ -441,7 +449,8 @@ def _wave_exe(**statics):
 
 
 @functools.lru_cache(maxsize=None)
-def _bounce_exe(block_size, use_pallas, backend, occlude_sort=None):
+def _bounce_exe(block_size, use_pallas, backend, occlude_sort=None,
+                closest_sort=None):
     """One bounce-step executable per traversal config (see _wave_exe).
 
     The bounce loop runs at HOST level (render drives one jit call per
@@ -462,6 +471,7 @@ def _bounce_exe(block_size, use_pallas, backend, occlude_sort=None):
         closest, occlude = packet_backend(
             accel, block_size, use_pallas=use_pallas, backend=backend,
             accel_closest=accel_c, occlude_sort=occlude_sort,
+            closest_sort=closest_sort,
         )
         return tracer.bounce_step(
             scene, closest, occlude, o, d, beta, radiance, alive, keys,
@@ -531,8 +541,12 @@ def _render_wave(
     alive = jnp.ones((n,), bool)
     bounce = _bounce_exe(block_size, use_pallas, backend)
     bounce0 = (
-        _bounce_exe(block_size, use_pallas, backend, occlude_sort=False)
-        if SHADOW_NOSORT_BOUNCE0 else bounce
+        _bounce_exe(
+            block_size, use_pallas, backend,
+            occlude_sort=False if SHADOW_NOSORT_BOUNCE0 else None,
+            closest_sort=False if CLOSEST_NOSORT_BOUNCE0 else None,
+        )
+        if (SHADOW_NOSORT_BOUNCE0 or CLOSEST_NOSORT_BOUNCE0) else bounce
     )
     if accel_c is None:
         accel_c = accel

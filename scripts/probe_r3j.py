@@ -220,13 +220,16 @@ if "--no-e2e" not in sys.argv and not smoke:
                          sort=False))
         emit(probe="e2e_same_image_nosort",
              identical=bool(np.array_equal(img_a, img_d)))
-        # bounce-0-only nosort (probe N: bounce-0 pixel order == dir sort)
+        # bounce-0-only nosort (probe N: bounce-0 pixel order == dir
+        # sort for shadow; measured identical b8 unions for closest)
         wavefront.SHADOW_NOSORT_BOUNCE0 = True
+        wavefront.CLOSEST_NOSORT_BOUNCE0 = True
         try:
             img_e = e2e("shadow_g2_nosort_b0",
                         dict(engine="packets", group_size=2))
         finally:
             wavefront.SHADOW_NOSORT_BOUNCE0 = False
+            wavefront.CLOSEST_NOSORT_BOUNCE0 = False
         emit(probe="e2e_same_image_nosort_b0",
              identical=bool(np.array_equal(img_a, img_e)))
     except Exception as e:  # noqa: BLE001

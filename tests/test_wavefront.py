@@ -47,14 +47,15 @@ def test_wave_size_invariance(room_scene):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
-def test_shadow_nosort_bounce0_bit_identical(room_scene):
-    """SHADOW_NOSORT_BOUNCE0 skips the bounce-0 shadow coherence sort;
-    occlusion is exact under any blocking, so images must be
-    bit-identical."""
+def test_nosort_bounce0_bit_identical(room_scene):
+    """SHADOW_NOSORT_BOUNCE0 / CLOSEST_NOSORT_BOUNCE0 skip the bounce-0
+    coherence sorts; traversal is exact under any blocking, so images
+    must be bit-identical."""
     ref = wavefront.render(room_scene, default_camera(), SETTINGS,
                            wave_size=1 << 12, block_size=64,
                            backend="hybrid")
     wavefront.SHADOW_NOSORT_BOUNCE0 = True
+    wavefront.CLOSEST_NOSORT_BOUNCE0 = True
     wavefront.clear_executable_caches()
     try:
         img = wavefront.render(room_scene, default_camera(), SETTINGS,
@@ -62,6 +63,7 @@ def test_shadow_nosort_bounce0_bit_identical(room_scene):
                                backend="hybrid")
     finally:
         wavefront.SHADOW_NOSORT_BOUNCE0 = False
+        wavefront.CLOSEST_NOSORT_BOUNCE0 = False
         wavefront.clear_executable_caches()
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(img))
 
