@@ -425,7 +425,7 @@ def _build_pairs(accel, order, n_cand, over, cap, tile_blocks, tile_chunk,
 def _sweep_resolve(
     accel, pairs, o_blk, d_blk, tm_blk, t_min,
     cap, tile_blocks, tile_chunk, want_tri,
-    use_pallas=False, interpret=False,
+    use_pallas=False, interpret=False, sub_skip=False,
 ):
     """Fused sweep + resolve: dense [chunk, T, S] MT over cluster-major
     tiles, per-block reduction via chunked row scatter-min.
@@ -526,7 +526,8 @@ def _sweep_resolve(
             )
             cid_c = sc.reshape(tc, tb)[:, 0]
             ct, tri_min = pc.tile_sweep(
-                tri_pack, rays_pack, cid_c, interpret=interpret
+                tri_pack, rays_pack, cid_c, interpret=interpret,
+                sub_skip=sub_skip,
             )
             return blk, ct, tri_min
     else:
@@ -606,6 +607,7 @@ def _run(
     block, cap, tile_blocks, row_chunk, tile_chunk,
     sort, sort_mode, fallback_block, fallback_compact, want_tri,
     use_pallas=False, interpret=False, levels=0, super_cap=48,
+    sub_skip=False,
 ):
     n = origins.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -645,7 +647,7 @@ def _run(
     blk_res = _sweep_resolve(
         accel, pairs, o_blk, d_blk, tm_blk, t_min,
         cap, tile_blocks, tile_chunk, want_tri,
-        use_pallas=use_pallas, interpret=interpret,
+        use_pallas=use_pallas, interpret=interpret, sub_skip=sub_skip,
     )
     # ONE _unsort for results + overflow (it builds the inverse
     # permutation with a [npad] scatter per call — don't pay it twice).
@@ -672,7 +674,7 @@ def _run(
         "block", "cap", "tile_blocks", "row_chunk",
         "tile_chunk", "sort", "sort_mode", "fallback_block",
         "fallback_compact", "use_pallas", "interpret",
-        "levels", "super_cap",
+        "levels", "super_cap", "sub_skip",
     ),
 )
 def closest_hit_ctiles(
@@ -694,6 +696,7 @@ def closest_hit_ctiles(
     interpret: bool = False,
     levels: int = 0,
     super_cap: int = 48,
+    sub_skip: bool = False,
 ) -> PacketHit:
     """Closest hit via cluster-major tiles; exact for every ray."""
     best_t, best_tri = _run(
@@ -703,7 +706,7 @@ def closest_hit_ctiles(
         sort=sort, sort_mode=sort_mode, fallback_block=fallback_block,
         fallback_compact=fallback_compact, want_tri=True,
         use_pallas=use_pallas, interpret=interpret,
-        levels=levels, super_cap=super_cap,
+        levels=levels, super_cap=super_cap, sub_skip=sub_skip,
     )
     hit = jnp.isfinite(best_t)
     return PacketHit(hit=hit, t=best_t, tri=jnp.where(hit, best_tri, -1))
@@ -716,7 +719,7 @@ def closest_hit_ctiles(
         "block", "cap", "tile_blocks", "row_chunk",
         "tile_chunk", "sort", "sort_mode", "fallback_block",
         "fallback_compact", "use_pallas", "interpret",
-        "levels", "super_cap",
+        "levels", "super_cap", "sub_skip",
     ),
 )
 def any_hit_ctiles(
@@ -738,6 +741,7 @@ def any_hit_ctiles(
     interpret: bool = False,
     levels: int = 0,
     super_cap: int = 48,
+    sub_skip: bool = False,
 ) -> jnp.ndarray:
     """Occlusion query via cluster-major tiles; exact for every ray."""
     (occ,) = _run(
@@ -747,6 +751,6 @@ def any_hit_ctiles(
         sort=sort, sort_mode=sort_mode, fallback_block=fallback_block,
         fallback_compact=fallback_compact, want_tri=False,
         use_pallas=use_pallas, interpret=interpret,
-        levels=levels, super_cap=super_cap,
+        levels=levels, super_cap=super_cap, sub_skip=sub_skip,
     )
     return occ

@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from path_tracer_ai_tpu.accel import traverse
+from path_tracer_ai_tpu.accel import pallas_ctiles as pc
 from path_tracer_ai_tpu.accel.pallas_ctiles import pack_rays_tiles, pack_tris
 from path_tracer_ai_tpu.core.types import MT_EPSILON
 
@@ -50,12 +51,17 @@ GROUP = 8  # candidate clusters consumed per block per while-iteration
 
 def pack_tris_dummy(accel) -> jnp.ndarray:
     """[C+1, 16, S] triangle pack with an all-zero dummy cluster at index C
-    (the no-hit sink for candidate-list padding)."""
+    (the no-hit sink for candidate-list padding). The dummy's sub-slab
+    AABB rows are inverted boxes so sub_skip never sweeps it."""
     pack = pack_tris(accel)
-    return jnp.pad(pack, ((0, 1), (0, 0), (0, 0)))
+    dummy = jnp.zeros((1,) + pack.shape[1:], pack.dtype)
+    fill = jnp.asarray([jnp.inf] * 3 + [-jnp.inf] * 3, jnp.float32)
+    dummy = dummy.at[0, 10:16, :].set(fill[:, None])
+    return jnp.concatenate([pack, dummy], axis=0)
 
 
-def _anyhit_kernel(cid_ref, rays_ref, *refs, early_skip, dummy):
+def _anyhit_kernel(cid_ref, rays_ref, *refs, early_skip, dummy,
+                   sub_skip=False):
     """One grid step: one 128-ray block vs GROUP candidate clusters.
 
     early_skip=True recovers the 8-candidate granularity waste that made
@@ -65,6 +71,12 @@ def _anyhit_kernel(cid_ref, rays_ref, *refs, early_skip, dummy):
     pl.when (their DMAs are already prefetched; only vector work is
     saved). The occlusion accumulator lives in the VMEM output block so
     the skip predicate can read it back between clusters.
+
+    sub_skip=True additionally gates each cluster's [SUB, T] MT row
+    chunks on their sub-slab AABBs (pack_tris rows 10-15) — probe P
+    measured only ~10-15% of sub-slabs active on real shadow waves (the
+    conservative interval candidates are loose), so most of the dense
+    sweep is skippable exactly. Composes with early_skip.
     """
     from jax.experimental import pallas as pl
 
@@ -76,17 +88,16 @@ def _anyhit_kernel(cid_ref, rays_ref, *refs, early_skip, dummy):
     dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
     tmax = rays[6:7, :]
     tmin = rays[7:8, :]
+    s = tri_refs[0].shape[2]
 
-    acc = jnp.zeros_like(tmax)                            # [1, T] 0/1
-
-    def sweep_cluster(j):
-        trit = tri_refs[j][0].T                           # [S, 16]
-        v0x, v0y, v0z = trit[:, 0:1], trit[:, 1:2], trit[:, 2:3]  # [S, 1]
-        e1x, e1y, e1z = trit[:, 3:4], trit[:, 4:5], trit[:, 5:6]
-        e2x, e2y, e2z = trit[:, 6:7], trit[:, 7:8], trit[:, 8:9]
+    def sweep_rows(trit_k):
+        """Any-hit over a row slice of a transposed pack -> [1, T] 0/1."""
+        v0x, v0y, v0z = trit_k[:, 0:1], trit_k[:, 1:2], trit_k[:, 2:3]
+        e1x, e1y, e1z = trit_k[:, 3:4], trit_k[:, 4:5], trit_k[:, 5:6]
+        e2x, e2y, e2z = trit_k[:, 6:7], trit_k[:, 7:8], trit_k[:, 8:9]
 
         # Möller–Trumbore, identical op order to traverse._mt_sweep
-        # ([S, T] outer-broadcast chains).
+        # ([rows, T] outer-broadcast chains).
         hx = dy * e2z - dz * e2y
         hy = dz * e2x - dx * e2z
         hz = dx * e2y - dy * e2x
@@ -105,12 +116,13 @@ def _anyhit_kernel(cid_ref, rays_ref, *refs, early_skip, dummy):
         ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
         ok &= (t >= tmin) & (t <= tmax)
 
-        okf = jnp.where(ok, 1.0, 0.0)                     # [S, T]
+        okf = jnp.where(ok, 1.0, 0.0)                     # [rows, T]
         return jnp.max(okf, axis=0, keepdims=True)        # [1, T]
 
-    if not early_skip:
+    if not early_skip and not sub_skip:
+        acc = jnp.zeros_like(tmax)                        # [1, T] 0/1
         for j in range(GROUP):
-            acc = jnp.maximum(acc, sweep_cluster(j))
+            acc = jnp.maximum(acc, sweep_rows(tri_refs[j][0].T))
         # Output blocks need (8, 128)-divisible trailing dims; broadcast
         # the reduced row (the caller reads row 0).
         out_ref[0] = jnp.broadcast_to(acc, out_ref.shape[1:])
@@ -121,22 +133,48 @@ def _anyhit_kernel(cid_ref, rays_ref, *refs, early_skip, dummy):
     # Dead lanes (t_max < 0) can never be occluded; count them as done
     # or mixed blocks would never trigger the skip.
     deadf = jnp.where(tmax < 0.0, 1.0, 0.0)                  # [1, T]
+    if sub_skip:
+        invx, invy, invz = 1.0 / dx, 1.0 / dy, 1.0 / dz
     for j in range(GROUP):
         cid_j = cid_ref[i * GROUP + j]
-        done = jnp.min(
-            jnp.maximum(out_ref[0, 0:1, :], deadf)) >= 1.0
+        if early_skip:
+            done = jnp.min(
+                jnp.maximum(out_ref[0, 0:1, :], deadf)) >= 1.0
+            guard = (cid_j < dummy) & ~done
+        else:
+            guard = None
 
-        @pl.when((cid_j < dummy) & ~done)
-        def _():
-            row = sweep_cluster(j)
-            out_ref[0] = jnp.maximum(
-                out_ref[0], jnp.broadcast_to(row, out_ref.shape[1:])
-            )
+        if not sub_skip:
+
+            @pl.when(guard)
+            def _(j=j):
+                row = sweep_rows(tri_refs[j][0].T)
+                out_ref[0] = jnp.maximum(
+                    out_ref[0], jnp.broadcast_to(row, out_ref.shape[1:])
+                )
+            continue
+
+        # Padding candidates point at the dummy cluster, whose sub boxes
+        # are inverted (pack_tris_dummy) — every sub predicate is False,
+        # so no guard is needed when early_skip is off.
+        for k in range(pc.n_subs(s)):
+            pred = pc._sub_pred(tri_refs[j], k, ox, oy, oz,
+                                invx, invy, invz, tmin, tmax)
+
+            @pl.when(pred if guard is None else (pred & guard))
+            def _(j=j, k=k):
+                trit = tri_refs[j][0].T
+                row = sweep_rows(
+                    trit[k * pc.SUB:min((k + 1) * pc.SUB, s), :])
+                out_ref[0] = jnp.maximum(
+                    out_ref[0], jnp.broadcast_to(row, out_ref.shape[1:])
+                )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "early_skip"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "early_skip", "sub_skip"))
 def block_anyhit(tri_pack, rays_pack, cid8, interpret=False,
-                 early_skip=False):
+                 early_skip=False, sub_skip=False):
     """Fused per-block any-hit: [size, 8, T] f32, row 0 = 1.0 where occluded.
 
     tri_pack [C+1, 16, S] (pack_tris_dummy), rays_pack [size, 8, T]
@@ -171,6 +209,7 @@ def block_anyhit(tri_pack, rays_pack, cid8, interpret=False,
             _anyhit_kernel,
             early_skip=early_skip,
             dummy=tri_pack.shape[0] - 1,
+            sub_skip=sub_skip,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((size, 8, t_lanes), jnp.float32),
@@ -186,7 +225,7 @@ def _next_pow2(x: int) -> int:
     jax.jit,
     static_argnames=(
         "block_size", "sort_mode", "interpret", "early_skip", "kernel_chunk",
-        "sort",
+        "sort", "sub_skip",
     ),
 )
 def any_hit_fused(
@@ -201,6 +240,7 @@ def any_hit_fused(
     early_skip: bool = False,
     kernel_chunk: int = 8192,
     sort: bool = True,
+    sub_skip: bool = False,
 ) -> jnp.ndarray:
     """Occlusion query over a wave via the fused Pallas cascade.
 
@@ -281,7 +321,8 @@ def any_hit_fused(
         kc = min(kernel_chunk, size)
         if size <= kc:
             hit = block_anyhit(tri_pack, rays_pk, cid8.reshape(-1),
-                               interpret=interpret, early_skip=early_skip)
+                               interpret=interpret, early_skip=early_skip,
+                               sub_skip=sub_skip)
             return (occ | (hit[:, 0, :] > 0.0),)
 
         # Bound the per-call scalar-prefetch array (SMEM) to kernel_chunk
@@ -295,7 +336,7 @@ def any_hit_fused(
             c_sl = jax.lax.dynamic_slice(
                 cid8, (i * kc, 0), (kc, g)).reshape(-1)
             hit = block_anyhit(tri_pack, r_sl, c_sl, interpret=interpret,
-                               early_skip=early_skip)
+                               early_skip=early_skip, sub_skip=sub_skip)
             o_sl = jax.lax.dynamic_slice(
                 occ_acc, (i * kc, 0), (kc, block_size))
             return jax.lax.dynamic_update_slice(

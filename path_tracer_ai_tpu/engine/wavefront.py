@@ -252,6 +252,7 @@ def packet_backend(
             fkw = dict(block_size=okw.get("block_size", 128),
                        sort_mode=okw.get("sort_mode", "dir"),
                        early_skip=okw.get("early_skip", False),
+                       sub_skip=okw.get("sub_skip", False),
                        sort=okw.get("sort", True)
                        if occlude_sort is None else occlude_sort)
             if jax.default_backend() == "tpu" or okw.get("interpret", False):

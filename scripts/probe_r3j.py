@@ -136,11 +136,25 @@ shadow_case("fused_b128_skip", lambda: pallas_anyhit.any_hit_fused(
 shadow_case("fused_b128_skip_nosort", lambda: pallas_anyhit.any_hit_fused(
     accel, osh, dsh, RAY_TMIN, tsh, block_size=128, early_skip=True,
     sort=False, **ikw))
+# sub-slab skip (probe P: only 2.3-5.4% of 32-tri sub-slabs are active on
+# real shadow waves — the conservative candidates are loose, and the
+# kernel can skip the rest of the dense MT exactly)
+shadow_case("fused_b128_sub", lambda: pallas_anyhit.any_hit_fused(
+    accel, osh, dsh, RAY_TMIN, tsh, block_size=128, sub_skip=True, **ikw))
+shadow_case("fused_b128_skip_sub", lambda: pallas_anyhit.any_hit_fused(
+    accel, osh, dsh, RAY_TMIN, tsh, block_size=128, early_skip=True,
+    sub_skip=True, **ikw))
+shadow_case("fused_b128_skip_sub_nosort", lambda: pallas_anyhit.any_hit_fused(
+    accel, osh, dsh, RAY_TMIN, tsh, block_size=128, early_skip=True,
+    sub_skip=True, sort=False, **ikw))
 if not smoke:
     shadow_case("fused_b256", lambda: pallas_anyhit.any_hit_fused(
         accel, osh, dsh, RAY_TMIN, tsh, block_size=256))
     shadow_case("fused_b256_skip", lambda: pallas_anyhit.any_hit_fused(
         accel, osh, dsh, RAY_TMIN, tsh, block_size=256, early_skip=True))
+    shadow_case("fused_b256_skip_sub", lambda: pallas_anyhit.any_hit_fused(
+        accel, osh, dsh, RAY_TMIN, tsh, block_size=256, early_skip=True,
+        sub_skip=True))
 
     # isolated sort/unsort costs at this wave size (what sort=False saves)
     @jax.jit
@@ -163,6 +177,43 @@ if not smoke:
     emit(probe="unsort_cost", ms=round(dt * 1e3, 1), compile_s=round(cs, 1))
 log("shadow section complete")
 
+# ---- 1b. closest-wave sub_skip A/B (probe P: active tile fraction
+# 0.31-0.54 at S=256 on real closest waves) -------------------------------
+from path_tracer_ai_tpu.accel import ctiles
+
+dcl = rng.standard_normal((N, 3)).astype(np.float32)
+dcl /= np.linalg.norm(dcl, axis=1, keepdims=True)
+ocl = np.tile(pp, (4, 1)) + 1e-3 * dcl
+tcl = np.full(N, np.inf, np.float32)
+tcl[rng.random(N) < 0.3] = -1.0
+ocl_j, dcl_j, tcl_j = jnp.asarray(ocl), jnp.asarray(dcl), jnp.asarray(tcl)
+live_cl = int(jnp.sum(tcl_j >= 0))
+ckw_base = dict(cap=48, tile_chunk=2048, fallback_compact=1 << 13)
+ref_cl = None
+
+
+def closest_case(tag, **kw):
+    global ref_cl
+    try:
+        dt, cs, hit = timeit(lambda: ctiles.closest_hit_ctiles(
+            accel_c, ocl_j, dcl_j, RAY_TMIN, tcl_j, **ckw_base, **kw))
+        row = dict(probe="closest_sub", engine=tag, ms=round(dt * 1e3, 1),
+                   mrays=round(live_cl / dt / 1e6, 2),
+                   compile_s=round(cs, 1))
+        if ref_cl is None:
+            ref_cl = hit
+        else:
+            row["mismatch"] = int(jnp.sum(hit.t != ref_cl.t)
+                                  + jnp.sum(hit.tri != ref_cl.tri))
+        emit(**row)
+    except Exception as e:  # noqa: BLE001
+        emit(probe="closest_sub", engine=tag, error=str(e)[:300])
+
+
+closest_case("pallas", use_pallas=True, interpret=smoke)
+closest_case("pallas_sub", sub_skip=True, use_pallas=True, interpret=smoke)
+log("closest sub section complete")
+
 # ---- 2. e2e adoption A/B ------------------------------------------------
 if "--no-e2e" not in sys.argv and not smoke:
     from path_tracer_ai_tpu.config import RenderSettings
@@ -174,8 +225,10 @@ if "--no-e2e" not in sys.argv and not smoke:
                               max_bounces=5, seed=0)
     wave = 1 << 20
 
-    def e2e(tag, occ_kw):
+    def e2e(tag, occ_kw, closest_kw=None):
         wavefront.HYBRID_OCCLUDE_KW = occ_kw
+        if closest_kw is not None:
+            wavefront.CTILES_CLOSEST_KW = closest_kw
         wavefront.clear_executable_caches()
         t0 = time.perf_counter()
         wavefront.render(scene, cam, settings, accel=accel, block_size=64,
@@ -232,6 +285,27 @@ if "--no-e2e" not in sys.argv and not smoke:
             wavefront.CLOSEST_NOSORT_BOUNCE0 = False
         emit(probe="e2e_same_image_nosort_b0",
              identical=bool(np.array_equal(img_a, img_e)))
+        # sub-slab skip levers (probe P): closest alone, shadow alone,
+        # then the combined candidate
+        ckw_prod = dict(wavefront.CTILES_CLOSEST_KW)
+        try:
+            img_f = e2e("closest_sub", dict(engine="packets", group_size=2),
+                        closest_kw=dict(ckw_prod, sub_skip=True))
+            emit(probe="e2e_same_image_closest_sub",
+                 identical=bool(np.array_equal(img_a, img_f)))
+            img_g = e2e("shadow_fused_skip_sub",
+                        dict(engine="packets_fused", early_skip=True,
+                             sub_skip=True), closest_kw=ckw_prod)
+            emit(probe="e2e_same_image_shadow_sub",
+                 identical=bool(np.array_equal(img_a, img_g)))
+            img_h = e2e("combo_sub",
+                        dict(engine="packets_fused", early_skip=True,
+                             sub_skip=True),
+                        closest_kw=dict(ckw_prod, sub_skip=True))
+            emit(probe="e2e_same_image_combo_sub",
+                 identical=bool(np.array_equal(img_a, img_h)))
+        finally:
+            wavefront.CTILES_CLOSEST_KW = ckw_prod
     except Exception as e:  # noqa: BLE001
         emit(probe="e2e", error=str(e)[:300])
 

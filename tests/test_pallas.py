@@ -148,6 +148,15 @@ class TestCtilesPallasIntegration:
                             use_pallas=True, interpret=True, **kw)
         ba = any_hit(tris, o, d, 1e-3, tmax_arr)
         np.testing.assert_array_equal(np.asarray(pa), np.asarray(ba))
+        # sub-slab skip: gated [SUB, T] chunks must not change a bit
+        ps = closest_hit_ctiles(accel, o, d, 1e-3, t_max, use_pallas=True,
+                                interpret=True, sub_skip=True, **kw)
+        np.testing.assert_array_equal(np.asarray(ps.hit), np.asarray(ph.hit))
+        np.testing.assert_array_equal(np.asarray(ps.t), np.asarray(ph.t))
+        np.testing.assert_array_equal(np.asarray(ps.tri), np.asarray(ph.tri))
+        pas = any_hit_ctiles(accel, o, d, 1e-3, tmax_arr, use_pallas=True,
+                             interpret=True, sub_skip=True, **kw)
+        np.testing.assert_array_equal(np.asarray(pas), np.asarray(ba))
 
     def test_matches_bruteforce_and_xla(self, rng):
         from path_tracer_ai_tpu.core.types import triangles_from_numpy
@@ -206,6 +215,13 @@ class TestAnyHitFused:
         fn = any_hit_fused(accel, o, d, 1e-3, t_max, interpret=True,
                            sort=False, early_skip=True)
         np.testing.assert_array_equal(np.asarray(fn), np.asarray(ba))
+        # sub-slab skip, alone and composed with early_skip
+        fb = any_hit_fused(accel, o, d, 1e-3, t_max, interpret=True,
+                           sub_skip=True)
+        np.testing.assert_array_equal(np.asarray(fb), np.asarray(ba))
+        fbe = any_hit_fused(accel, o, d, 1e-3, t_max, interpret=True,
+                            sub_skip=True, early_skip=True)
+        np.testing.assert_array_equal(np.asarray(fbe), np.asarray(ba))
         if o.shape[0] % 64 == 0:
             pa = any_hit_packets(accel, o, d, 1e-3, tmax_arr,
                                  block_size=64, group_size=2)
@@ -294,3 +310,9 @@ def test_pallas_tile_sweep_matches_mt_sweep(rng):
     np.testing.assert_allclose(np.asarray(t_got), np.asarray(t_ref),
                                rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(tri_got), np.asarray(tri_ref))
+
+    # sub-slab skip must reproduce the unskipped kernel bit-for-bit
+    t_sub, tri_sub = pc.tile_sweep(tri_pack, rays_pack, tile_cid,
+                                   interpret=True, sub_skip=True)
+    np.testing.assert_array_equal(np.asarray(t_sub), np.asarray(t_got))
+    np.testing.assert_array_equal(np.asarray(tri_sub), np.asarray(tri_got))
