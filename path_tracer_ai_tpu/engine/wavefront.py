@@ -92,6 +92,11 @@ HYBRID_CLOSEST_CLUSTER_SIZE: Optional[int] = 256
 # lane_major: shadow waves arrive with each lane's 4 same-origin rays
 # consecutive; block=4 makes one block per lane (shared-origin union cull).
 CTILES_OCCLUDE_KW = dict(lane_major=True, block=4, sort=False)
+# Closest-wave engine for the hybrid backend: "ctiles" (round-3 prod) or
+# "cascade_fused" (pallas_closest — probe Q: the fused closest cascade
+# deletes the pair-domain scheduling and runs on the BASE accel; opt-in
+# until the on-chip A/B lands in probe J's closest_cascade rows).
+HYBRID_CLOSEST_KW = dict(engine="ctiles")
 
 
 def clear_executable_caches():
@@ -209,20 +214,41 @@ def packet_backend(
         from path_tracer_ai_tpu.accel import ctiles, worklist
 
         accel_cl = accel_closest if accel_closest is not None else accel
-        # The fused Pallas tile sweep is the production closest sweep on
-        # TPU (probe r3d: 256 vs 303ms XLA at S=256; bitwise-identical
-        # output). CPU (tests) keeps the XLA sweep — Mosaic does not
-        # lower there and interpret mode is opt-in.
-        ckw = dict(CTILES_CLOSEST_KW)
-        if "use_pallas" not in ckw:
-            ckw["use_pallas"] = jax.default_backend() == "tpu"
-        if closest_sort is not None:
-            ckw["sort"] = closest_sort
+        closest_eng = HYBRID_CLOSEST_KW.get("engine", "ctiles")
+        cckw = {k: v for k, v in HYBRID_CLOSEST_KW.items() if k != "engine"}
+        if closest_eng == "cascade_fused" and (
+            jax.default_backend() == "tpu" or cckw.get("interpret", False)
+        ):
+            # Fused Pallas closest cascade (pallas_closest, probe Q): the
+            # packet cascade's structure with the sweep + sub-slab-gated
+            # (t, tri) accumulation in one kernel per iteration — no pair
+            # domain at all. Runs on the BASE accel (no dual build). TPU
+            # only — CPU (tests) routes to ctiles below, bit-identical
+            # because every backend is exact.
+            from path_tracer_ai_tpu.accel import pallas_closest
 
-        def closest(o, d, t_min, t_max):
-            return ctiles.closest_hit_ctiles(
-                accel_cl, o, d, RAY_TMIN, t_max, **ckw
-            )
+            if closest_sort is not None:
+                cckw["sort"] = closest_sort
+
+            def closest(o, d, t_min, t_max):
+                return pallas_closest.closest_hit_fused(
+                    accel, o, d, RAY_TMIN, t_max, **cckw
+                )
+        else:
+            # The fused Pallas tile sweep is the production closest sweep
+            # on TPU (probe r3d: 256 vs 303ms XLA at S=256; bitwise-
+            # identical output). CPU (tests) keeps the XLA sweep — Mosaic
+            # does not lower there and interpret mode is opt-in.
+            ckw = dict(CTILES_CLOSEST_KW)
+            if "use_pallas" not in ckw:
+                ckw["use_pallas"] = jax.default_backend() == "tpu"
+            if closest_sort is not None:
+                ckw["sort"] = closest_sort
+
+            def closest(o, d, t_min, t_max):
+                return ctiles.closest_hit_ctiles(
+                    accel_cl, o, d, RAY_TMIN, t_max, **ckw
+                )
 
         hybrid_eng = HYBRID_OCCLUDE_KW.get("engine")
         okw = {k: v for k, v in HYBRID_OCCLUDE_KW.items() if k != "engine"}

@@ -212,6 +212,31 @@ def closest_case(tag, **kw):
 
 closest_case("pallas", use_pallas=True, interpret=smoke)
 closest_case("pallas_sub", sub_skip=True, use_pallas=True, interpret=smoke)
+
+# fused closest cascade (probe Q lever): no pair domain, base accel
+from path_tracer_ai_tpu.accel import pallas_closest
+
+
+def cascade_case(tag, acc, **kw):
+    global ref_cl
+    try:
+        dt, cs, hit = timeit(lambda: pallas_closest.closest_hit_fused(
+            acc, ocl_j, dcl_j, RAY_TMIN, tcl_j, interpret=smoke, **kw))
+        row = dict(probe="closest_cascade", engine=tag,
+                   ms=round(dt * 1e3, 1),
+                   mrays=round(live_cl / dt / 1e6, 2),
+                   compile_s=round(cs, 1))
+        if ref_cl is not None:
+            row["mismatch"] = int(jnp.sum(hit.t != ref_cl.t)
+                                  + jnp.sum(hit.tri != ref_cl.tri))
+        emit(**row)
+    except Exception as e:  # noqa: BLE001
+        emit(probe="closest_cascade", engine=tag, error=str(e)[:300])
+
+
+cascade_case("s128_sub", accel)
+cascade_case("s128_nosub", accel, sub_skip=False)
+cascade_case("s256_sub", accel_c)
 log("closest sub section complete")
 
 # ---- 2. e2e adoption A/B ------------------------------------------------
@@ -225,10 +250,12 @@ if "--no-e2e" not in sys.argv and not smoke:
                               max_bounces=5, seed=0)
     wave = 1 << 20
 
-    def e2e(tag, occ_kw, closest_kw=None):
+    def e2e(tag, occ_kw, closest_kw=None, closest_eng=None):
         wavefront.HYBRID_OCCLUDE_KW = occ_kw
         if closest_kw is not None:
             wavefront.CTILES_CLOSEST_KW = closest_kw
+        if closest_eng is not None:
+            wavefront.HYBRID_CLOSEST_KW = closest_eng
         wavefront.clear_executable_caches()
         t0 = time.perf_counter()
         wavefront.render(scene, cam, settings, accel=accel, block_size=64,
@@ -304,8 +331,23 @@ if "--no-e2e" not in sys.argv and not smoke:
                         closest_kw=dict(ckw_prod, sub_skip=True))
             emit(probe="e2e_same_image_combo_sub",
                  identical=bool(np.array_equal(img_a, img_h)))
+            # fused closest cascade (probe Q): alone, then the full combo
+            img_i = e2e("closest_cascade",
+                        dict(engine="packets", group_size=2),
+                        closest_kw=ckw_prod,
+                        closest_eng=dict(engine="cascade_fused"))
+            emit(probe="e2e_same_image_closest_cascade",
+                 identical=bool(np.array_equal(img_a, img_i)))
+            img_j = e2e("combo_cascade",
+                        dict(engine="packets_fused", early_skip=True,
+                             sub_skip=True),
+                        closest_kw=ckw_prod,
+                        closest_eng=dict(engine="cascade_fused"))
+            emit(probe="e2e_same_image_combo_cascade",
+                 identical=bool(np.array_equal(img_a, img_j)))
         finally:
             wavefront.CTILES_CLOSEST_KW = ckw_prod
+            wavefront.HYBRID_CLOSEST_KW = dict(engine="ctiles")
     except Exception as e:  # noqa: BLE001
         emit(probe="e2e", error=str(e)[:300])
 

@@ -260,6 +260,67 @@ class TestAnyHitFused:
         assert not np.asarray(fa).any()
 
 
+class TestClosestFused:
+    """closest_hit_fused — the fused Pallas closest cascade — must match
+    brute force and be invariant to sub_skip / sort / kernel chunking
+    (interpret mode on CPU)."""
+
+    def _check(self, tris, accel, o, d, t_max):
+        from path_tracer_ai_tpu.accel.pallas_closest import closest_hit_fused
+        from path_tracer_ai_tpu.engine.intersect import closest_hit
+
+        fh = closest_hit_fused(accel, o, d, 1e-3, t_max, interpret=True)
+        tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                                    (o.shape[0],))
+        bh = closest_hit(tris, o, d, 1e-3, tmax_arr)
+        m = np.asarray(bh.hit)
+        np.testing.assert_array_equal(np.asarray(fh.hit), m)
+        np.testing.assert_allclose(np.asarray(fh.t)[m],
+                                   np.asarray(bh.t)[m], rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(fh.tri)[m],
+                                      np.asarray(bh.tri)[m])
+        for kw in (dict(sub_skip=False), dict(sort=False),
+                   dict(kernel_chunk=8),
+                   dict(sub_skip=False, sort=False)):
+            fv = closest_hit_fused(accel, o, d, 1e-3, t_max,
+                                   interpret=True, **kw)
+            np.testing.assert_array_equal(np.asarray(fv.t),
+                                          np.asarray(fh.t), err_msg=str(kw))
+            np.testing.assert_array_equal(np.asarray(fv.tri),
+                                          np.asarray(fh.tri),
+                                          err_msg=str(kw))
+
+    def test_matches_bruteforce(self, rng):
+        from tests.test_accel import random_rays, random_soup as soup
+
+        tris = soup(rng, 600)
+        accel = build_clusters(tris, cluster_size=16)
+        o, d = random_rays(rng, 256)
+        tmax = rng.uniform(0.5, 15.0, 256).astype(np.float32)
+        tmax[::4] = -1.0                   # dead lanes mixed in
+        self._check(tris, accel, o, d, jnp.asarray(tmax))
+
+    def test_unaligned_wave_and_scalar_tmax(self, rng):
+        from tests.test_accel import random_rays, random_soup as soup
+
+        tris = soup(rng, 300)
+        accel = build_clusters(tris, cluster_size=128)
+        o, d = random_rays(rng, 173)
+        self._check(tris, accel, o, d, np.inf)
+
+    def test_all_dead_wave(self, rng):
+        from tests.test_accel import random_rays, random_soup as soup
+        from path_tracer_ai_tpu.accel.pallas_closest import closest_hit_fused
+
+        tris = soup(rng, 200)
+        accel = build_clusters(tris, cluster_size=64)
+        o, d = random_rays(rng, 128)
+        fh = closest_hit_fused(accel, o, d, 1e-3,
+                               jnp.full((128,), -1.0, jnp.float32),
+                               interpret=True)
+        assert not np.asarray(fh.hit).any()
+
+
 def test_pallas_tile_sweep_matches_mt_sweep(rng):
     """Fused ctiles tile sweep (interpret mode) == the XLA dense sweep's
     per-slot results, including t_max masking, dead lanes, tri-id ties,
