@@ -136,7 +136,8 @@ def main():
             af = pallas_anyhit.any_hit_fused(
                 accel, o, d, RAY_TMIN, tm_sh,
                 block_size=okw.get("block_size", 128),
-                early_skip=okw.get("early_skip", False))
+                early_skip=okw.get("early_skip", False),
+                sub_skip=okw.get("sub_skip", False))
             jax.block_until_ready((ax, af))
             anyhit_exact = bool(np.array_equal(np.asarray(ax),
                                                np.asarray(af)))
@@ -148,6 +149,27 @@ def main():
                     "cascade shadow")
                 wavefront.HYBRID_OCCLUDE_KW = dict(engine="packets",
                                                    group_size=2)
+        # Same pin for the fused closest cascade, when adopted.
+        if wavefront.HYBRID_CLOSEST_KW.get("engine") == "cascade_fused":
+            from path_tracer_ai_tpu.accel import pallas_closest
+
+            cckw = {k: v for k, v in wavefront.HYBRID_CLOSEST_KW.items()
+                    if k != "engine"}
+            t0 = time.perf_counter()
+            hc = pallas_closest.closest_hit_fused(accel, o, d, RAY_TMIN,
+                                                  tm, **cckw)
+            jax.block_until_ready(hc)
+            cascade_exact = bool(
+                np.array_equal(np.asarray(hc.t).view(np.int32), tx)
+                and np.array_equal(np.asarray(hc.tri), np.asarray(hx.tri))
+            )
+            log(f"fused closest-cascade compiled-mode exactness ({nv} "
+                f"rays): {cascade_exact} ({time.perf_counter() - t0:.1f}s)")
+            pallas_exact = pallas_exact and cascade_exact
+            if not cascade_exact:
+                log("WARNING: fused closest cascade diverged — benching "
+                    "the ctiles closest path")
+                wavefront.HYBRID_CLOSEST_KW = dict(engine="ctiles")
         if not closest_exact:
             # Divergence is a real bug (images must stay bit-identical
             # across sweeps) — but the headline bench must still produce a

@@ -108,4 +108,24 @@ try:
 except Exception as e:  # noqa: BLE001
     emit(probe="e2e_big", config="hybrid2l_s256_w16", error=str(e)[:250])
 
+# Fused cascade engines (probes P/Q): a far SIMPLER XLA program than
+# worklist/ctiles (no giant scatter tables) — it may compile where the
+# others hit the axon remote-compile failure, and the sub-slab gating
+# keeps kernel MT near per-ray-exact at any cluster count.
+try:
+    wavefront.HYBRID_CLOSEST_KW = dict(engine="cascade_fused",
+                                       **(dict(interpret=True)
+                                          if smoke else {}))
+    img_c = e2e_big(
+        "cascade_s128_w16", "hybrid", accel_b,
+        occ_kw=dict(engine="packets_fused", early_skip=True, sub_skip=True,
+                    **(dict(interpret=True) if smoke else {})))
+    if img_w is not None:
+        emit(probe="e2e_big_same_image_cascade",
+             identical=bool(np.array_equal(img_w, img_c)))
+except Exception as e:  # noqa: BLE001
+    emit(probe="e2e_big", config="cascade_s128_w16", error=str(e)[:250])
+finally:
+    wavefront.HYBRID_CLOSEST_KW = dict(engine="ctiles")
+
 log("probe L complete")
