@@ -121,8 +121,15 @@ try:
         occ_kw=dict(engine="packets_fused", early_skip=True, sub_skip=True,
                     **(dict(interpret=True) if smoke else {})))
     if img_w is not None:
+        # CPU smoke caveat (debug_ulp.py): XLA CPU contracts FMAs
+        # per-fusion-context, so the interpret-mode kernels' t drifts
+        # 1 ulp vs the XLA pipelines on ~1.5% of rays (hit/tri
+        # identical). Exact identity is the TPU criterion; on CPU,
+        # allclose is the meaningful check.
         emit(probe="e2e_big_same_image_cascade",
-             identical=bool(np.array_equal(img_w, img_c)))
+             identical=bool(np.array_equal(img_w, img_c)),
+             allclose=bool(np.allclose(img_w, img_c, rtol=1e-4,
+                                       atol=1e-6)))
 except Exception as e:  # noqa: BLE001
     emit(probe="e2e_big", config="cascade_s128_w16", error=str(e)[:250])
 finally:
