@@ -203,8 +203,12 @@ def closest_case(tag, **kw):
         if ref_cl is None:
             ref_cl = hit
         else:
-            row["mismatch"] = int(jnp.sum(hit.t != ref_cl.t)
-                                  + jnp.sum(hit.tri != ref_cl.tri))
+            # split t vs tri: t-only mismatches with tri identical are
+            # the ulp-contraction signature (scripts/debug_ulp.py), not
+            # a traversal bug — still a rejection for adoption (image
+            # bitwise identity), but a different diagnosis.
+            row["mismatch_t"] = int(jnp.sum(hit.t != ref_cl.t))
+            row["mismatch_tri"] = int(jnp.sum(hit.tri != ref_cl.tri))
         emit(**row)
     except Exception as e:  # noqa: BLE001
         emit(probe="closest_sub", engine=tag, error=str(e)[:300])
@@ -227,8 +231,8 @@ def cascade_case(tag, acc, **kw):
                    mrays=round(live_cl / dt / 1e6, 2),
                    compile_s=round(cs, 1))
         if ref_cl is not None:
-            row["mismatch"] = int(jnp.sum(hit.t != ref_cl.t)
-                                  + jnp.sum(hit.tri != ref_cl.tri))
+            row["mismatch_t"] = int(jnp.sum(hit.t != ref_cl.t))
+            row["mismatch_tri"] = int(jnp.sum(hit.tri != ref_cl.tri))
         emit(**row)
     except Exception as e:  # noqa: BLE001
         emit(probe="closest_cascade", engine=tag, error=str(e)[:300])
