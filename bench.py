@@ -17,12 +17,71 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+# Signatures of a recoverable TPU-service outage (NOT code bugs): the axon
+# backend failing to initialize. Round 3 lost its driver bench to exactly
+# this — one UNAVAILABLE throw at the first device touch, no retry
+# (VERDICT.md weak #1; outage pattern in docs/R3_SESSION_NOTES.md).
+_OUTAGE_MARKERS = (
+    "Unable to initialize backend 'axon'",
+    "UNAVAILABLE: TPU backend setup/compile error",
+    "DEADLINE_EXCEEDED",
+)
+
+
+def _supervise(argv) -> int:
+    """Run the bench as a retried subprocess: each attempt is its own TPU
+    client that exits cleanly on its own (never killed mid-init — killing a
+    client mid-init wedges the tunnel for 10-45+ min). Retry ONLY on the
+    known outage signature, with quiet gaps, for up to ~45 min total."""
+    deadline = time.monotonic() + 45 * 60
+    attempt = 0
+    while True:
+        attempt += 1
+        log(f"[bench supervisor] attempt {attempt}")
+        try:
+            # Ceiling well above both the normal bench (~15 min incl.
+            # compile + one-time first-D2H) and the outage's explicit
+            # UNAVAILABLE throw (~30 min): only a genuine wedge hits it.
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--_inner",
+                 *argv],
+                stdout=subprocess.PIPE, stderr=None, timeout=50 * 60,
+            )
+        except subprocess.TimeoutExpired as e:
+            # A hung client means a wedged tunnel; killing it is the
+            # documented response, and retrying into a wedge never helps —
+            # report and stop.
+            out = (e.stdout or b"").decode()
+            sys.stdout.write(out)
+            log("[bench supervisor] attempt hung past 50 min (tunnel "
+                "wedge); giving up")
+            return 1
+        out = proc.stdout.decode()
+        if proc.returncode == 0:
+            sys.stdout.write(out)
+            sys.stdout.flush()
+            return 0
+        # stderr already streamed through; decide from the child's stdout
+        # tail (the inner run prints outage markers there before exiting).
+        is_outage = any(m in out for m in _OUTAGE_MARKERS)
+        if not is_outage or time.monotonic() > deadline:
+            sys.stdout.write(out)
+            log(f"[bench supervisor] giving up (outage={is_outage}, "
+                f"rc={proc.returncode})")
+            return proc.returncode or 1
+        log("[bench supervisor] TPU outage signature; clean-exit retry "
+            "after 300s quiet")
+        time.sleep(300)
 
 
 def main():
@@ -36,7 +95,11 @@ def main():
     ap.add_argument("--backend", default=None,
                     help="traversal backend override (worklist/packets/pairs)")
     ap.add_argument("--cluster-size", type=int, default=128)
+    ap.add_argument("--_inner", action="store_true",
+                    help=argparse.SUPPRESS)  # one supervised attempt
     args = ap.parse_args()
+    if not args._inner:
+        sys.exit(_supervise(sys.argv[1:]))
     if args.quick:
         args.width, args.height, args.spp, args.subdiv = 320, 180, 2, 3
 
@@ -59,7 +122,13 @@ def main():
     t0 = time.perf_counter()
     import jax.numpy as jnp
 
-    jnp.zeros(()).block_until_ready()
+    try:
+        jnp.zeros(()).block_until_ready()
+    except RuntimeError as e:
+        # Outage signature goes to STDOUT so the supervisor can classify
+        # the failure; exit cleanly (a clean exit never wedges the tunnel).
+        print(f"backend init failed: {e}", flush=True)
+        sys.exit(2)
     log(f"devices: {jax.devices()} (backend init {time.perf_counter() - t0:.1f}s)")
 
     from path_tracer_ai_tpu.accel.clusters import build_clusters

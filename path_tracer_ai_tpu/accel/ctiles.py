@@ -250,7 +250,13 @@ def _block_candidates_2level(
         scol = jnp.arange(cs, dtype=jnp.int32)[None, :]
         negs = jnp.where(cand_sb & ~over[:, None], -scol, neg_big)
         sup = _extract_k(negs, scap, neg_big)                 # [rc, scap]
-        sup_live = sup >= 0
+        # Empty shortlist slots come back as -neg_big = +2^30 (not
+        # negative!): `sup >= 0` kept them all, so their clip to the LAST
+        # super duplicated its children in the candidate count/order.
+        # Harmless for exactness (duplicate sweeps), but it inflated
+        # n_cand toward spurious cap overflows on every block whose
+        # shortlist was shorter than super_cap.
+        sup_live = sup < cs
         sup_c = jnp.clip(sup, 0, cs - 1)
 
         # Level 2: per-ray slab vs the block's gathered child AABBs
@@ -270,13 +276,21 @@ def _block_candidates_2level(
         for a in range(3):
             t0 = (cbmin[:, None, :, a] - oc[:, :, None, a]) * inv[:, :, None, a]
             t1 = (cbmax[:, None, :, a] - oc[:, :, None, a]) * inv[:, :, None, a]
-            near = jnp.minimum(t0, t1)
-            far = jnp.maximum(t0, t1)
-            # 0*inf NaN (origin on an axis-parallel slab plane) must keep.
-            near = jnp.where(jnp.isnan(near), -jnp.inf, near)
-            far = jnp.where(jnp.isnan(far), jnp.inf, far)
-            lo = jnp.maximum(lo, near)
-            hi = jnp.minimum(hi, far)
+            # Sign-select near/far (pairs._ray_slab_chunk form), NOT
+            # min/max: min/max is inversion-INsensitive, so the padding
+            # slots' inverted boxes (min=+3e37 > max=-3e37) would pass as
+            # near-infinite boxes and inflate every shortlisted last-super
+            # block by up to super_size-1 phantom candidates (spurious cap
+            # overflows -> fallback). Sign-select makes inverted boxes
+            # yield near=+big/far=-big, failing as documented.
+            neg = inv[:, :, None, a] < 0.0
+            near = jnp.where(neg, t1, t0)
+            far = jnp.where(neg, t0, t1)
+            # 0*inf NaN (origin on an axis-parallel slab plane) must keep
+            # that axis unbounded: NaN compares false, so where-form keeps
+            # the running bound (conservative).
+            lo = jnp.where(near > lo, near, lo)
+            hi = jnp.where(far < hi, far, hi)
         cand_k = jnp.any(hi >= lo, axis=1)                    # [rc, K]
         cand_k &= jnp.repeat(sup_live, ss, axis=1)
         cand_k &= ~over[:, None]

@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fixed = reference 16:9 camera quirk (default), true = real aspect")
     p.add_argument("--dielectric", action="store_true",
                    help="enable dielectric materials from MTL (glass/illum 7/d<1)")
+    p.add_argument("--rr", type=int, default=0, metavar="N",
+                   help="Russian roulette from bounce N (unbiased "
+                        "throughput-proportional termination; 0 = off, "
+                        "matching the reference's fixed-depth cutoff)")
     p.add_argument("--checkpoint", default=None,
                    help="progressive checkpoint file for save/resume")
     p.add_argument("--checkpoint-every", type=int, default=0,
@@ -94,6 +98,7 @@ def main(argv=None) -> int:
         gamma=args.gamma,
         aspect_mode=args.aspect,
         seed=None if args.seed == -1 else args.seed,
+        rr_start=args.rr,
     )
 
     from path_tracer_ai_tpu.scene.camera import default_camera

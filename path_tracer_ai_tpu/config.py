@@ -35,6 +35,14 @@ class RenderSettings:
     # we default to a fixed seed so renders are reproducible, pass None for
     # entropy-seeded behavior.
     seed: int | None = 0
+    # Russian roulette (opt-in extension; the reference has NONE —
+    # renderer.hpp:129-250 uses a fixed-depth cutoff only, and rr_start=0
+    # preserves that quirk bit-exactly). rr_start=N >= 1 applies unbiased
+    # throughput-proportional termination to every path continuation
+    # leaving a vertex of depth >= N: survive with p = clamp(max(beta),
+    # rr floor, 1), then beta /= p. Cuts deep-bounce work (the 16-bounce 4K
+    # config) at identical expected radiance.
+    rr_start: int = 0
 
     def aspect_ratio(self) -> float:
         if self.aspect_mode == "fixed":

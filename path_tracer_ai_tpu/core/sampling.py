@@ -27,6 +27,7 @@ from path_tracer_ai_tpu.core import vec
 TAG_PIXEL_JITTER = 0
 TAG_BSDF = 1
 TAG_FRESNEL = 2
+TAG_RR = 3  # Russian-roulette continuation draw (opt-in extension)
 
 
 def uniform_sphere(key, shape=()) -> jnp.ndarray:

@@ -54,12 +54,14 @@ def trace_paths(
     keys,                     # [N] key array (one stream per lane)
     max_bounces: int,
     tri_chunk: int = 512,
+    rr_start: int = 0,
 ):
     """Iterative tracePath over a lane batch with the exact brute-force
     traversal backend. Returns (radiance [N,3], valid [N])."""
     closest, occlude = tracer.brute_force_backend(scene, tri_chunk)
     radiance, valid, _stats = tracer.trace_paths(
-        scene, origins, directions, keys, max_bounces, closest, occlude
+        scene, origins, directions, keys, max_bounces, closest, occlude,
+        rr_start=rr_start,
     )
     return radiance, valid
 
@@ -113,7 +115,8 @@ def render(
             v = (ys.astype(jnp.float32) + jitter[:, 1]) / (h - 1)
             o, d = get_rays(camera, u, v, aspect)
             radiance, valid = trace_paths(
-                scene, o, d, keys, settings.max_bounces, tri_chunk=tri_chunk
+                scene, o, d, keys, settings.max_bounces, tri_chunk=tri_chunk,
+                rr_start=settings.rr_start,
             )
             acc = acc + jnp.where(valid[..., None], radiance, 0.0)
             cnt = cnt + valid.astype(jnp.int32)

@@ -35,6 +35,8 @@ def bounce_step(
     closest_fn: ClosestFn,
     occlude_fn: OccludeFn,
     o, d, beta, radiance, alive, keys, depth,
+    rr_start: int = 0,
+    rr_floor: float = 0.05,
 ):
     """ONE shading vertex of tracePath for a lane batch.
 
@@ -42,6 +44,14 @@ def bounce_step(
     [N] array (persistent pool, wavefront regeneration) — the RNG stream for
     a lane depends only on its own (key, depth), so scheduling is invisible
     to the radiance.
+
+    rr_start (opt-in, see RenderSettings.rr_start): vertices of depth >=
+    rr_start roulette their CONTINUATION — the current vertex's direct term
+    is already in `radiance`, so survival p = clamp(max(beta'), rr_floor, 1)
+    with beta' /= p keeps E[radiance] exactly; rr_start=0 disables (quirk
+    parity with renderer.hpp's fixed-depth cutoff). The draw rides its own
+    RNG purpose (TAG_RR) keyed by (lane, depth), so it is scheduling- and
+    backend-invariant like every other stream.
 
     Returns (o, d, beta, radiance, alive, n_closest, n_shadow).
     """
@@ -100,6 +110,22 @@ def bounce_step(
     beta = jnp.where(active[..., None], beta * bs.throughput, beta)
     o = jnp.where(active[..., None], bs.origin, o)
     d = jnp.where(active[..., None], bs.direction, d)
+
+    if rr_start:
+        # Unbiased continuation roulette on the UPDATED throughput. The
+        # depth gate is data (depth may be per-lane in the pool scheduler);
+        # rr_start itself is static so rr-off programs are unchanged.
+        k_rr = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+            kb, sampling.TAG_RR
+        )
+        u_rr = jax.vmap(lambda k: jax.random.uniform(k))(k_rr)
+        p = jnp.clip(jnp.max(beta, axis=-1), rr_floor, 1.0)
+        roulette = active & (depth_arr >= rr_start)
+        survive = ~roulette | (u_rr < p)
+        beta = jnp.where((roulette & survive)[..., None],
+                         beta / p[..., None], beta)
+        active = active & survive
+
     n_closest = jnp.sum(alive.astype(jnp.int32))
     return o, d, beta, radiance, active, n_closest, n_shadow
 
@@ -112,6 +138,7 @@ def trace_paths(
     max_bounces: int,
     closest_fn: ClosestFn,
     occlude_fn: OccludeFn,
+    rr_start: int = 0,
 ):
     """Returns (radiance [N,3], valid [N], stats).
 
@@ -125,7 +152,7 @@ def trace_paths(
         o, d, beta, radiance, alive, n_closest, n_shadow = state
         o, d, beta, radiance, alive, nc, ns = bounce_step(
             scene, closest_fn, occlude_fn,
-            o, d, beta, radiance, alive, keys, depth,
+            o, d, beta, radiance, alive, keys, depth, rr_start=rr_start,
         )
         return (o, d, beta, radiance, alive, n_closest + nc, n_shadow + ns)
 

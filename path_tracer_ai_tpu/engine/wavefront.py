@@ -477,7 +477,7 @@ def _wave_exe(**statics):
 
 @functools.lru_cache(maxsize=None)
 def _bounce_exe(block_size, use_pallas, backend, occlude_sort=None,
-                closest_sort=None):
+                closest_sort=None, rr_start=0):
     """One bounce-step executable per traversal config (see _wave_exe).
 
     The bounce loop runs at HOST level (render drives one jit call per
@@ -502,7 +502,7 @@ def _bounce_exe(block_size, use_pallas, backend, occlude_sort=None,
         )
         return tracer.bounce_step(
             scene, closest, occlude, o, d, beta, radiance, alive, keys,
-            depth,
+            depth, rr_start=rr_start,
         )
 
     return jax.jit(one_bounce)
@@ -553,6 +553,7 @@ def _render_wave(
     block_size = statics["block_size"]
     use_pallas = statics.get("use_pallas", False)
     backend = statics.get("backend", None)
+    rr_start = statics.get("rr_start", 0)
 
     gen_statics = {
         k: v for k, v in statics.items()
@@ -566,12 +567,13 @@ def _render_wave(
     beta = jnp.ones((n, 3), jnp.float32)
     radiance = jnp.zeros((n, 3), jnp.float32)
     alive = jnp.ones((n,), bool)
-    bounce = _bounce_exe(block_size, use_pallas, backend)
+    bounce = _bounce_exe(block_size, use_pallas, backend, rr_start=rr_start)
     bounce0 = (
         _bounce_exe(
             block_size, use_pallas, backend,
             occlude_sort=False if SHADOW_NOSORT_BOUNCE0 else None,
             closest_sort=False if CLOSEST_NOSORT_BOUNCE0 else None,
+            rr_start=rr_start,
         )
         if (SHADOW_NOSORT_BOUNCE0 or CLOSEST_NOSORT_BOUNCE0) else bounce
     )
@@ -703,7 +705,7 @@ def _wave_accum_impl(
 def _render_wave_impl(
     scene, accel, camera, base_key, xs, ys, s0, spp,
     *, w, h, sc, pix_chunk, lanes_padded, block_size, max_bounces, aspect,
-    use_pallas=False, backend=None,
+    use_pallas=False, backend=None, rr_start=0,
 ):
     """Fully-fused single-program wave (kept for the multichip/sharded
     paths, which jit whole shards; the single-device scheduler drives
@@ -718,7 +720,7 @@ def _render_wave_impl(
         aspect=aspect,
     )
     radiance, valid, (nc, ns) = tracer.trace_paths(
-        scene, o, d, keys, max_bounces, closest, occlude
+        scene, o, d, keys, max_bounces, closest, occlude, rr_start=rr_start
     )
     r = radiance[:n_lanes].reshape(pix_chunk, sc, 3)
     vl = valid[:n_lanes].reshape(pix_chunk, sc)
@@ -744,7 +746,7 @@ def _render_pool(scene, accel, camera, base_key, xs, ys, s_start, spp,
 def _render_pool_impl(
     scene, accel, camera, base_key, xs, ys, s_start, spp,
     *, w, h, pix_chunk, pool_size, block_size, max_bounces, aspect,
-    use_pallas=False, backend=None,
+    use_pallas=False, backend=None, rr_start=0,
 ):
     """Persistent-pool scheduler: ray compaction by REGENERATION.
 
@@ -813,7 +815,8 @@ def _render_pool_impl(
         keys = jax.random.wrap_key_data(kd)
         alive_pre = alive
         o, d, beta, rad, alive, dnc, dns = tracer.bounce_step(
-            scene, closest, occlude, o, d, beta, rad, alive, keys, depth
+            scene, closest, occlude, o, d, beta, rad, alive, keys, depth,
+            rr_start=rr_start,
         )
         depth = depth + alive_pre.astype(jnp.int32)
 
@@ -894,9 +897,13 @@ def render(
         from path_tracer_ai_tpu.parallel.mesh import render_tiled
 
         if scheduler != "wave":
-            log.warning(
-                "tile_devices path always uses the host-stepped wave "
-                "scheduler (requested %r)", scheduler,
+            # The pool scheduler's on-device regeneration has no sharded
+            # variant (its bucket choice is per-chunk host feedback, which
+            # would need a cross-shard max every regeneration step); do not
+            # silently substitute a different architecture.
+            raise ValueError(
+                "tile_devices supports only scheduler='wave' "
+                f"(requested {scheduler!r})"
             )
         if settings.seed is None:
             # Entropy-seed exactly like the single-device path below (the
@@ -969,6 +976,7 @@ def render(
             lanes_padded=lanes_padded, block_size=block_size,
             max_bounces=settings.max_bounces, aspect=aspect,
             use_pallas=use_pallas, backend=backend,
+            rr_start=settings.rr_start,
         )
 
     ys_all, xs_all = np.mgrid[0:h, 0:w]
@@ -1018,6 +1026,7 @@ def render(
                     w=w, h=h, pix_chunk=pix_chunk, pool_size=lanes_padded,
                     block_size=block_size, max_bounces=settings.max_bounces,
                     aspect=aspect, use_pallas=use_pallas, backend=backend,
+                    rr_start=settings.rr_start,
                 )
                 acc_dev = acc_dev.at[lo:hi].add(a[: hi - lo])
                 cnt_dev = cnt_dev.at[lo:hi].add(c[: hi - lo])

@@ -20,10 +20,16 @@ log = get_logger(__name__)
 
 
 def fingerprint(settings, n_triangles: int, seed: int) -> str:
-    return (
+    fp = (
         f"v1|{settings.width}x{settings.height}|spp{settings.samples_per_pixel}"
         f"|b{settings.max_bounces}|a{settings.aspect_mode}|t{n_triangles}|s{seed}"
     )
+    # Appended only when enabled so pre-existing (rr-less) checkpoint
+    # lineages — e.g. the long-running 4K accumulation — stay resumable.
+    rr = getattr(settings, "rr_start", 0)
+    if rr:
+        fp += f"|rr{rr}"
+    return fp
 
 
 def save(path: str, acc: np.ndarray, cnt: np.ndarray, next_sample: int,

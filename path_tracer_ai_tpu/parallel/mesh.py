@@ -117,7 +117,8 @@ def render_sharded(
                 v = (cy.astype(jnp.float32) + jitter[:, 1]) / (h - 1)
                 o, d = get_rays(camera, u, v, aspect)
                 radiance, valid, _ = tracer.trace_paths(
-                    scene, o, d, keys, settings.max_bounces, closest, occlude
+                    scene, o, d, keys, settings.max_bounces, closest,
+                    occlude, rr_start=settings.rr_start,
                 )
                 valid = valid & (s < spp)  # drop strided tail beyond spp
                 acc = acc + jnp.where(valid[:, None], radiance, 0.0)
@@ -178,11 +179,20 @@ def render_sharded(
 _MESH_EXE_CACHE: dict = {}
 
 
-def _mexe(mesh: Mesh, name: str, builder):
-    key = (id(mesh), name)
+def _mexe(cfg, pins, name: str, builder):
+    """Executable cache keyed on the FULL closed-over configuration.
+
+    cfg must encode everything the built executables close over (scene/
+    camera/accel identity, seed, chunking, spp, backend, mesh) — a
+    (id(mesh), name) key silently returned stale executables when the same
+    mesh rendered a different scene/seed (round-3 advisor finding). `pins`
+    holds strong references to every object whose id() appears in cfg, so
+    CPython id reuse after GC can never alias two distinct configs.
+    """
+    key = (cfg, name)
     if key not in _MESH_EXE_CACHE:
-        _MESH_EXE_CACHE[key] = builder()
-    return _MESH_EXE_CACHE[key]
+        _MESH_EXE_CACHE[key] = (builder(), pins)
+    return _MESH_EXE_CACHE[key][0]
 
 
 def clear_mesh_caches():
@@ -277,6 +287,7 @@ def render_sharded_wavefront(
             out = tracer.bounce_step(
                 scene, closest, occlude, o[0, 0], d[0, 0], beta[0, 0],
                 rad[0, 0], alive[0, 0], keys, depth,
+                rr_start=settings.rr_start,
             )
             o2, d2, b2, r2, a2, nc, ns = out
             return (o2[None, None], d2[None, None], b2[None, None],
@@ -347,12 +358,18 @@ def render_sharded_wavefront(
 
         return smap(accum, (lane_axes,) * 2, (P("tiles"), P("tiles")))
 
-    gen = _mexe(mesh, f"gen{chunk}x{w}x{h}x{spp}", gen_exe)
-    bounce = _mexe(mesh, f"bounce{block_size}-{backend}", bounce_exe)
-    live_counts = _mexe(mesh, "live", live_exe)
-    scatter_back = _mexe(mesh, "scatter", scatter_exe)
-    compose = _mexe(mesh, "compose", compose_exe)
-    accum = _mexe(mesh, f"accum{spp}", accum_exe)
+    pins = (mesh, scene, accel, accel_closest)
+    # Camera is keyed by VALUE (5 tiny arrays): callers rebuild identical
+    # cameras per call and must still hit the executable cache.
+    cam_key = tuple(np.asarray(x).tobytes() for x in camera)
+    cfg = (tuple(id(p) for p in pins), cam_key, seed, w, h, spp, chunk,
+           block_size, backend, settings.rr_start)
+    gen = _mexe(cfg, pins, "gen", gen_exe)
+    bounce = _mexe(cfg, pins, "bounce", bounce_exe)
+    live_counts = _mexe(cfg, pins, "live", live_exe)
+    scatter_back = _mexe(cfg, pins, "scatter", scatter_exe)
+    compose = _mexe(cfg, pins, "compose", compose_exe)
+    accum = _mexe(cfg, pins, "accum", accum_exe)
 
     # Device-side accumulators in the padded per-tile layout; pulled to
     # the host only at checkpoints and at the end (the tunnel D2H path is
@@ -365,6 +382,19 @@ def render_sharded_wavefront(
         loaded = ckpt_io.load(checkpoint_path, fingerprint)
         if loaded is not None:
             acc, cnt, s_done = loaded
+            if s_done % n_samp != 0:
+                # A checkpoint mid-pass for THIS mesh shape (e.g. written
+                # by the single-device scheduler) cannot resume here:
+                # flooring j_start would re-render samples already in the
+                # accumulator and double-count them (round-3 advisor
+                # finding). The sample set is identical across mesh shapes
+                # (strided keying), only the pass granularity differs.
+                raise ValueError(
+                    f"checkpoint at {s_done} samples is not a multiple of "
+                    f"the mesh's samples axis ({n_samp}); resume it on a "
+                    f"mesh whose samples axis divides {s_done}, or finish "
+                    f"the pass on the scheduler that wrote it"
+                )
             j_start = s_done // n_samp
             log.info("Resuming sharded render at sample %d/%d", s_done, spp)
 
@@ -405,7 +435,7 @@ def render_sharded_wavefront(
                     bucket = max(max_live, compact_min_bucket)
                     bucket = 1 << max(bucket - 1, 1).bit_length()
                     if max_live > 0 and bucket <= cur // 2:
-                        cexe = _mexe(mesh, f"compact{bucket}",
+                        cexe = _mexe(cfg, pins, f"compact{bucket}",
                                      lambda b=bucket: compact_exe(b))
                         o, d, beta, rad_c, kd, alive, idx = cexe(
                             o, d, beta, rad, kd, alive)
@@ -466,7 +496,15 @@ def render_tiled(
     log.info("Rendering on %d-device mesh (tiles=%d, samples=1)", n, n)
     if scheduler == "wave":
         return render_sharded_wavefront(scene, camera, settings, mesh, **kw)
-    for k in ("accel_closest", "backend", "checkpoint_path",
-              "checkpoint_every", "stats"):
-        kw.pop(k, None)  # the fused path supports the base surface only
+    dropped = [
+        k for k in ("accel_closest", "backend", "checkpoint_path",
+                    "checkpoint_every", "stats")
+        if kw.pop(k, None) not in (None, 0)
+    ]
+    if dropped:
+        raise ValueError(
+            "scheduler='fused' supports only the base render surface; "
+            f"got {dropped} — use scheduler='wave' "
+            "(render_sharded_wavefront) for those"
+        )
     return render_sharded(scene, camera, settings, mesh, **kw)

@@ -47,6 +47,10 @@ def main():
                     help="smoke mode: force the CPU backend (NEVER run this "
                          "script against the TPU while another TPU client "
                          "is alive — tunnel wedge hazard, see CLAUDE.md)")
+    ap.add_argument("--cpuref-pin", action="store_true",
+                    help="run the ~1h cpu-ref literal-spec same-seed oracle "
+                         "pin (opt-in; see the cpuref_spec_same_seed_pin "
+                         "section)")
     args = ap.parse_args()
 
     import jax
@@ -75,11 +79,13 @@ def main():
 
     results = {}
     # Merge with a previous partial run (e.g. re-running the fast configs
-    # warm after a methodology fix without repeating gpu-parity/4k).
-    prev = "/root/repo/results/results_r3.json"
-    if os.path.exists(prev):
-        with open(prev) as f:
-            results.update(json.load(f))
+    # warm after a methodology fix without repeating gpu-parity/4k) and
+    # seed from the prior round's artifact (the 4k lineage lives there).
+    prev = "/root/repo/results/results_r4.json"
+    for seed_path in ("/root/repo/results/results_r3.json", prev):
+        if os.path.exists(seed_path):
+            with open(seed_path) as f:
+                results.update(json.load(f))
 
     def record(name, **kw):
         results[name] = kw
@@ -145,6 +151,21 @@ def main():
                        100 * abs(float(img.mean()) - float(img_o.mean()))
                        / max(float(img_o.mean()), 1e-9), 3),
                    oracle_wall_s=round(time.perf_counter() - t0, 1))
+            # SAME-SEED pin at the LITERAL spec config (round-3 verdict
+            # weak #5): identical RNG streams make MC noise cancel, so a
+            # max-abs of ~float-summation-order proves the fast path IS
+            # the reference semantics at 512x512@64spp itself — no noise-
+            # floor argument needed. img_o above is seed=2; one more
+            # wavefront render at seed=2 closes the pin.
+            img_w2 = wavefront.render(scene, camera,
+                                      cfg.settings.replace(seed=2),
+                                      wave_size=1 << 20, block_size=64)
+            d = np.abs(img_w2 - img_o)
+            record("cornell_spec_same_seed_pin",
+                   config="512x512@64spp/5b seed=2",
+                   max_abs=float(d.max()), mean_abs=float(d.mean()),
+                   rmse_pct=round(100 * benchmarks.rmse(img_w2, img_o), 4),
+                   passes=bool(d.max() < 1e-4))
 
     # ---- blob-scene correctness evidence ----------------------------------
     if "evidence" not in args.skip:
@@ -172,6 +193,32 @@ def main():
                              wave_size=1 << 20, block_size=64)
         record("blob_cross_seed_rmse_512", config="512x288@100spp/5b",
                rmse_pct=round(100 * benchmarks.rmse(a, b), 3))
+
+    # ---- cpu-ref literal-spec same-seed pin (round-3 verdict weak #5) -----
+    # The 82k-tri brute-force oracle at the FULL 800x450@10spp spec costs
+    # ~1h of device time (measured 8.6s at 64x36@4spp, x390 samples), so
+    # this row is opt-in: run it once per round when the session budget
+    # allows. Same-seed max-abs at the literal config — the strongest
+    # possible reading of the "RMSE vs CPU reference" criterion.
+    if args.cpuref_pin and "cpuref-pin" not in args.skip:
+        from path_tracer_ai_tpu.config import RenderSettings
+
+        cfg = benchmarks.get_configs(args.scale)["cpu-ref"]
+        scene, camera = benchmarks.build_config_scene(cfg)
+        s_pin = cfg.settings.replace(seed=5)
+        img_w = wavefront.render(scene, camera, s_pin, wave_size=1 << 20,
+                                 block_size=64)
+        t0 = time.perf_counter()
+        img_o = oracle.render(scene, camera, s_pin, spp_chunk=2)
+        d = np.abs(img_w - img_o)
+        record("cpuref_spec_same_seed_pin",
+               config=f"{s_pin.width}x{s_pin.height}@"
+                      f"{s_pin.samples_per_pixel}spp/{s_pin.max_bounces}b "
+                      f"seed=5",
+               max_abs=float(d.max()), mean_abs=float(d.mean()),
+               rmse_pct=round(100 * benchmarks.rmse(img_w, img_o), 4),
+               passes=bool(d.max() < 1e-4),
+               oracle_wall_s=round(time.perf_counter() - t0, 1))
 
     # ---- the literal <1% RMSE row (BASELINE.md accuracy criterion) --------
     # Cross-seed RMSE between two unbiased estimators falls as 1/sqrt(spp):
@@ -258,14 +305,14 @@ def main():
 
     # ---- write artifacts ----------------------------------------------------
     os.makedirs("/root/repo/results", exist_ok=True)
-    with open("/root/repo/results/results_r3.json", "w") as f:
+    with open(prev, "w") as f:
         json.dump(results, f, indent=1)
 
     lines = [
-        "# RESULTS — BASELINE configs (round 3, v5e single chip)",
+        "# RESULTS — BASELINE configs (round 4, v5e single chip)",
         "",
         "Produced by `scripts/run_baselines.py` in one TPU session; raw",
-        "values in `results/results_r3.json`. All rows WARM (compile excluded;",
+        "values in `results/results_r4.json`. All rows WARM (compile excluded;",
         "warm_compile_s in the JSON). RMSE methodology: see the",
         "script docstring (brute-force oracle cost bounds what can be",
         "compared at full spec; three-way evidence instead).",
@@ -293,6 +340,15 @@ def main():
         lines.append(
             f"| {name} | {spec} | {r['wall_s']}s | {r['mrays']} | {ev} |"
         )
+    for pin, label in (("cornell_spec_same_seed_pin", "cornell"),
+                       ("cpuref_spec_same_seed_pin", "cpu-ref")):
+        if pin in results:
+            rr = results[pin]
+            lines += ["",
+                      f"**{label} literal-spec same-seed pin** "
+                      f"({rr['config']}): wavefront-vs-oracle max-abs "
+                      f"{rr['max_abs']:.2e}, RMSE {rr['rmse_pct']}% — "
+                      f"passes: {rr['passes']}."]
     if "cornell_rmse_1pct" in results:
         rr = results["cornell_rmse_1pct"]
         lines += ["",

@@ -1,0 +1,287 @@
+"""Round-4 one-client TPU session: probes -> ADOPTION -> baselines -> 4K.
+
+Designed to run UNATTENDED from the outage retry loop (scripts/
+retry_loop.sh) the moment the axon service recovers: it bundles every
+round-4 on-chip measurement into one process (tunnel hazard rules) and
+applies the documented adoption procedure (docs/R3_SESSION_NOTES.md)
+automatically, so a recovery at 3am still produces a complete round:
+
+  1. probe J — wave-level + e2e A/Bs of every pending lever (fused
+     shadow cascade variants, fused closest cascade, sub_skip, NOSORT
+     toggles) with bitwise-identity gates.
+  2. adoption — argmax-Mrays e2e config among those whose images are
+     bit-identical to production AND whose wave-level rows show zero
+     mismatch; the winning toggles are applied IN-PROCESS so every later
+     section measures the adopted engine. (The repo defaults are
+     committed from this output afterwards.)
+  3. run_baselines — the five BASELINE configs warm, the literal-spec
+     same-seed pins (cornell always; cpu-ref's ~1h oracle pin last), and
+     the 4K progressive increment (+64 spp via the persistent
+     checkpoint).
+  4. probe K — outro decomposition / cap sweeps (diagnostic; last).
+
+Ordering puts the decision data first and the longest/least-critical
+sections last, so an interruption costs the tail.
+
+Usage: python scripts/session_r4.py [--cpu] [--skip-probes]
+                                    [--skip-baselines] [--skip-cpuref-pin]
+"""
+import io
+import json
+import runpy
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def tlog(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+smoke = "--cpu" in sys.argv
+
+tlog("importing jax")
+import jax  # noqa: E402
+
+if smoke:
+    jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # noqa: BLE001
+    pass
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+tlog("creating backend (jax.devices)")
+tlog(f"devices: {jax.devices()}")
+tlog("first device op (jnp.zeros)")
+jnp.zeros(()).block_until_ready()
+tlog("first D2H pull")
+_ = np.asarray(jnp.ones((8,), jnp.float32))
+tlog("init complete")
+
+
+class _Tee(io.TextIOBase):
+    """Mirror child-script stdout to the real stdout AND a buffer so the
+    adoption logic can parse the probe's JSON rows."""
+
+    def __init__(self, real):
+        self.real = real
+        self.buf = []
+
+    def write(self, s):
+        self.real.write(s)
+        self.buf.append(s)
+        return len(s)
+
+    def flush(self):
+        self.real.flush()
+
+
+def run_section(name, path, argv):
+    """runpy a child script, capturing its stdout rows. Never raises."""
+    sys.argv = [path] + argv
+    tee = _Tee(sys.stdout)
+    old = sys.stdout
+    sys.stdout = tee
+    t0 = time.perf_counter()
+    try:
+        runpy.run_path(path, run_name="__main__")
+        status = "ok"
+    except SystemExit as e:
+        status = f"exit {e.code}" if e.code else "ok"
+    except Exception as e:  # noqa: BLE001
+        status = f"error: {e}"[:300]
+    finally:
+        sys.stdout = old
+    emit(probe="section", name=name, status=status,
+         wall_s=round(time.perf_counter() - t0, 1))
+    rows = []
+    for line in "".join(tee.buf).splitlines():
+        try:
+            rows.append(json.loads(line))
+        except (json.JSONDecodeError, ValueError):
+            pass
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# 1. probe J (all pending levers, with identity gates)
+# ---------------------------------------------------------------------------
+rows = []
+if "--skip-probes" not in sys.argv:
+    rows = run_section("probe_j", "/root/repo/scripts/probe_r3j.py",
+                       (["--cpu"] if smoke else []))
+
+# ---------------------------------------------------------------------------
+# 2. adoption (docs/R3_SESSION_NOTES.md decision procedure, automated)
+# ---------------------------------------------------------------------------
+by_probe = {}
+for r in rows:
+    by_probe.setdefault(r.get("probe"), []).append(r)
+
+
+def wave_ok(probe, engine, *mismatch_keys):
+    """True iff the wave-level row exists, errored not, and every listed
+    mismatch counter is zero (bitwise identity on chip)."""
+    for r in by_probe.get(probe, []):
+        if r.get("engine") == engine:
+            if "error" in r:
+                return False
+            return all(r.get(k, 0) == 0 for k in mismatch_keys)
+    return False
+
+
+def image_ok(flag):
+    for r in by_probe.get(flag, []):
+        return bool(r.get("identical"))
+    return False
+
+
+def e2e_mrays(tag):
+    for r in by_probe.get("e2e", []):
+        if r.get("config") == tag and "mrays" in r:
+            return float(r["mrays"])
+    return None
+
+
+# Each candidate: (e2e tag, identity gates, engine-toggle thunk).
+OCC_PROD = dict(engine="packets", group_size=2)
+CANDIDATES = [
+    ("shadow_packets_g2", [], dict()),
+    ("shadow_packets_g2_nosort",
+     [lambda: image_ok("e2e_same_image_xla_nosort"),
+      lambda: wave_ok("shadow7", "xla_b64_g2_nosort", "mismatch")],
+     dict(occ=dict(engine="packets", group_size=2, sort=False))),
+    ("shadow_fused_b128",
+     [lambda: image_ok("e2e_same_image"),
+      lambda: wave_ok("shadow7", "fused_b128", "mismatch")],
+     dict(occ=dict(engine="packets_fused"))),
+    ("shadow_fused_skip",
+     [lambda: image_ok("e2e_same_image_skip"),
+      lambda: wave_ok("shadow7", "fused_b128_skip", "mismatch")],
+     dict(occ=dict(engine="packets_fused", early_skip=True))),
+    ("shadow_fused_skip_nosort",
+     [lambda: image_ok("e2e_same_image_nosort"),
+      lambda: wave_ok("shadow7", "fused_b128_skip_nosort", "mismatch")],
+     dict(occ=dict(engine="packets_fused", early_skip=True, sort=False))),
+    ("shadow_g2_nosort_b0",
+     [lambda: image_ok("e2e_same_image_nosort_b0")],
+     dict(nosort_b0=True)),
+    ("closest_sub",
+     [lambda: image_ok("e2e_same_image_closest_sub"),
+      lambda: wave_ok("closest_sub", "pallas_sub",
+                      "mismatch_t", "mismatch_tri")],
+     dict(closest_sub=True)),
+    ("shadow_fused_skip_sub",
+     [lambda: image_ok("e2e_same_image_shadow_sub"),
+      lambda: wave_ok("shadow7", "fused_b128_skip_sub", "mismatch")],
+     dict(occ=dict(engine="packets_fused", early_skip=True,
+                   sub_skip=True))),
+    ("combo_sub",
+     [lambda: image_ok("e2e_same_image_combo_sub"),
+      lambda: wave_ok("shadow7", "fused_b128_skip_sub", "mismatch"),
+      lambda: wave_ok("closest_sub", "pallas_sub",
+                      "mismatch_t", "mismatch_tri")],
+     dict(occ=dict(engine="packets_fused", early_skip=True, sub_skip=True),
+          closest_sub=True)),
+    ("closest_cascade",
+     [lambda: image_ok("e2e_same_image_closest_cascade"),
+      lambda: wave_ok("closest_cascade", "s128_sub",
+                      "mismatch_t", "mismatch_tri")],
+     dict(closest_eng=dict(engine="cascade_fused"))),
+    ("combo_cascade",
+     [lambda: image_ok("e2e_same_image_combo_cascade"),
+      lambda: wave_ok("closest_cascade", "s128_sub",
+                      "mismatch_t", "mismatch_tri"),
+      lambda: wave_ok("shadow7", "fused_b128_skip_sub", "mismatch")],
+     dict(occ=dict(engine="packets_fused", early_skip=True, sub_skip=True),
+          closest_eng=dict(engine="cascade_fused"))),
+]
+
+adopted = None
+if rows:
+    # probe J's e2e section leaves HYBRID_OCCLUDE_KW at its LAST measured
+    # config; reset every toggle to the production default before applying
+    # the adoption so un-adopted levers measure at prod settings.
+    from path_tracer_ai_tpu.engine import wavefront as _wf
+
+    _wf.HYBRID_OCCLUDE_KW = dict(OCC_PROD)
+    _wf.SHADOW_NOSORT_BOUNCE0 = False
+    _wf.CLOSEST_NOSORT_BOUNCE0 = False
+    _wf.HYBRID_CLOSEST_KW = dict(engine="ctiles")
+    _wf.HYBRID_CLOSEST_CLUSTER_SIZE = 256
+    _wf.clear_executable_caches()
+
+    best = None
+    for tag, gates, toggles in CANDIDATES:
+        m = e2e_mrays(tag)
+        eligible = m is not None and all(g() for g in gates)
+        emit(probe="adoption_candidate", config=tag, mrays=m,
+             eligible=bool(eligible))
+        if eligible and (best is None or m > best[0]):
+            best = (m, tag, toggles)
+    if best is not None:
+        adopted = best
+        from path_tracer_ai_tpu.engine import wavefront
+
+        _, tag, toggles = best
+        if "occ" in toggles:
+            wavefront.HYBRID_OCCLUDE_KW = toggles["occ"]
+        if toggles.get("nosort_b0"):
+            wavefront.SHADOW_NOSORT_BOUNCE0 = True
+            wavefront.CLOSEST_NOSORT_BOUNCE0 = True
+        if toggles.get("closest_sub"):
+            wavefront.CTILES_CLOSEST_KW = dict(
+                wavefront.CTILES_CLOSEST_KW, sub_skip=True)
+        if "closest_eng" in toggles:
+            wavefront.HYBRID_CLOSEST_KW = toggles["closest_eng"]
+            # The fused closest cascade runs on the BASE accel — no dual
+            # S=256 build needed.
+            wavefront.HYBRID_CLOSEST_CLUSTER_SIZE = None
+        wavefront.clear_executable_caches()
+        emit(probe="adopted", config=tag, mrays=best[0],
+             occ=wavefront.HYBRID_OCCLUDE_KW,
+             closest_kw=wavefront.CTILES_CLOSEST_KW,
+             closest_eng=wavefront.HYBRID_CLOSEST_KW,
+             nosort_b0=wavefront.SHADOW_NOSORT_BOUNCE0,
+             hybrid_closest_cluster_size=(
+                 wavefront.HYBRID_CLOSEST_CLUSTER_SIZE))
+
+# ---------------------------------------------------------------------------
+# 3. baselines at the adopted config (+ literal-spec pins + 4K increment)
+# ---------------------------------------------------------------------------
+if "--skip-baselines" not in sys.argv:
+    bargs = ["--spp-increment", "64",
+             "--skip", "evidence", "rmse1pct"]  # engine-independent,
+    # recorded in round 3; don't re-pay their oracles.
+    if smoke:
+        # Smoke must NOT touch the 4K lineage checkpoint or the slow
+        # configs; it validates plumbing only.
+        bargs = ["--cpu", "--scale", "0.002",
+                 "--skip", "evidence", "rmse1pct", "4k",
+                 "dielectric", "gpu-parity"]
+    run_section("baselines", "/root/repo/scripts/run_baselines.py", bargs)
+
+    if "--skip-cpuref-pin" not in sys.argv and not smoke:
+        # The ~1h cpu-ref literal-spec oracle pin, alone and last.
+        run_section("cpuref_pin", "/root/repo/scripts/run_baselines.py",
+                    ["--cpuref-pin", "--skip", "cpu-ref", "cornell",
+                     "dielectric", "gpu-parity", "evidence", "rmse1pct",
+                     "4k"])
+
+# ---------------------------------------------------------------------------
+# 4. probe K (diagnostic sweeps; least critical, runs last)
+# ---------------------------------------------------------------------------
+if "--skip-probes" not in sys.argv and not smoke:
+    run_section("probe_k", "/root/repo/scripts/probe_r3k.py", [])
+
+emit(probe="session_done",
+     adopted=None if adopted is None else adopted[1])

@@ -609,6 +609,32 @@ class TestCtilesTraversal:
         np.testing.assert_array_equal(np.asarray(h1.t), np.asarray(h2.t))
         np.testing.assert_array_equal(np.asarray(h1.tri), np.asarray(h2.tri))
 
+    def test_2level_no_phantom_candidates(self, rng):
+        """Padding slots in a partially-filled last super hold INVERTED
+        boxes; the level-2 slab must FAIL them (regression: the min/max
+        near-far form treated them as near-infinite boxes, inflating
+        n_cand by up to super_size-1 phantoms per shortlisted block and
+        spuriously overflowing cap)."""
+        from path_tracer_ai_tpu.accel.ctiles import (
+            _block_candidates_2level, _ray_masks)
+
+        tris = random_soup(rng, 500)
+        # 500 tris / 8 = 63 clusters; super_size 4 -> last super holds 3.
+        accel = build_clusters(tris, cluster_size=8, super_size=4)
+        assert accel.num_clusters % accel.super_size != 0
+        o, d = random_rays(rng, 256)
+        b = 8
+        o_blk = o.reshape(-1, b, 3)
+        d_blk = d.reshape(-1, b, 3)
+        tm_blk = jnp.full(o_blk.shape[:2], jnp.inf, jnp.float32)
+        _, n_flat = _ray_masks(accel, o_blk, d_blk, tm_blk, 1e-3,
+                               row_chunk=8)
+        order, n_2l, over = _block_candidates_2level(
+            accel, o_blk, d_blk, tm_blk, 1e-3, cap=accel.num_clusters,
+            row_chunk=8, super_cap=accel.num_supers)
+        assert not np.asarray(over).any()
+        np.testing.assert_array_equal(np.asarray(n_2l), np.asarray(n_flat))
+
     def test_coplanar_cluster_flat_aabb(self, rng):
         cells = []
         for i in range(8):

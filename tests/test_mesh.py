@@ -108,6 +108,47 @@ def test_wavefront_scheduler_checkpoint_resume(scene, tmp_path, monkeypatch):
     np.testing.assert_allclose(img_resumed, img_full, atol=1e-6)
 
 
+def test_wavefront_scheduler_rejects_midpass_checkpoint(scene, tmp_path):
+    """A checkpoint whose sample count is not a multiple of the mesh's
+    samples axis cannot resume (flooring would double-count the partial
+    pass's samples) — it must be rejected loudly, not silently biased."""
+    from path_tracer_ai_tpu.io import checkpoint as ckpt_io
+    from path_tracer_ai_tpu.parallel.mesh import render_sharded_wavefront
+
+    mesh = make_mesh(2, 4)
+    ck = str(tmp_path / "midpass.ckpt")
+    npix = SETTINGS.width * SETTINGS.height
+    fp = ckpt_io.fingerprint(SETTINGS, scene.triangles.count, SETTINGS.seed)
+    ckpt_io.save(ck, np.zeros((npix, 3), np.float32),
+                 np.zeros((npix,), np.int32), 3, fp)  # 3 % 4 != 0
+    with pytest.raises(ValueError, match="not a multiple"):
+        render_sharded_wavefront(scene, default_camera(), SETTINGS, mesh,
+                                 block_size=64, pix_chunk=1 << 9,
+                                 checkpoint_path=ck)
+
+
+def test_render_tiled_fused_rejects_unsupported_kwargs(scene):
+    """The fused scheduler must refuse (not silently drop) capabilities
+    only the wave scheduler carries."""
+    with pytest.raises(ValueError, match="base render surface"):
+        render_tiled(scene, default_camera(), SETTINGS, n_devices=8,
+                     scheduler="fused", stats=wavefront.RenderStats(),
+                     block_size=64, pix_chunk=1 << 9)
+
+
+def test_render_tile_devices_rejects_pool_scheduler(scene):
+    with pytest.raises(ValueError, match="scheduler='wave'"):
+        wavefront.render(scene, default_camera(), SETTINGS, tile_devices=8,
+                         scheduler="pool", block_size=64)
+
+
+def test_render_tiled_fused_base_surface(scene, single_device_image):
+    """scheduler='fused' still works for the base surface."""
+    img = render_tiled(scene, default_camera(), SETTINGS, n_devices=8,
+                       scheduler="fused", block_size=64, pix_chunk=1 << 9)
+    np.testing.assert_allclose(img, single_device_image, atol=1e-4)
+
+
 def test_output_shards_live_on_distinct_devices(scene):
     """The framebuffer really is sharded: check the mesh covers 8 devices."""
     mesh = make_mesh(8, 1)

@@ -263,3 +263,66 @@ def test_dual_accel_hybrid_bit_identical(room_scene):
         wavefront.HYBRID_CLOSEST_CLUSTER_SIZE = None
         wavefront.clear_executable_caches()
     np.testing.assert_array_equal(img_a, img_b)
+
+
+class TestRussianRoulette:
+    """Opt-in unbiased RR (RenderSettings.rr_start; the reference has none —
+    renderer.hpp:129-250 is fixed-depth only, so rr_start=0 is quirk parity)."""
+
+    def test_late_start_is_identical(self, room_scene):
+        """rr_start >= max_bounces never fires: the image must equal the
+        rr-off image exactly (same RNG consumption for all other purposes)."""
+        ref = wavefront.render(room_scene, default_camera(), SETTINGS,
+                               wave_size=1 << 12, block_size=64)
+        img = wavefront.render(room_scene, default_camera(),
+                               SETTINGS.replace(rr_start=SETTINGS.max_bounces),
+                               wave_size=1 << 12, block_size=64)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(img))
+
+    def test_engines_agree_same_seed(self, room_scene):
+        """RR draws ride the keyed RNG (lane, depth, TAG_RR): oracle and
+        wavefront terminate the SAME paths."""
+        s = SETTINGS.replace(rr_start=1, max_bounces=4)
+        img_o = oracle.render(room_scene, default_camera(), s)
+        img_w = wavefront.render(room_scene, default_camera(), s,
+                                 wave_size=1 << 12, block_size=64)
+        assert np.abs(img_o - img_w).max() < 0.05
+        assert np.abs(img_o - img_w).mean() < 1e-4
+
+    def test_scheduling_invariance(self, room_scene):
+        """RR termination must be invisible to scheduling: wave sizes,
+        compaction buckets, and the pool scheduler all produce the same
+        image for the same seed."""
+        s = SETTINGS.replace(rr_start=1, max_bounces=4, samples_per_pixel=4)
+        ref = wavefront.render(room_scene, default_camera(), s,
+                               wave_size=1 << 12, block_size=64)
+        b = wavefront.render(room_scene, default_camera(), s,
+                             wave_size=1 << 11, block_size=128)
+        np.testing.assert_allclose(ref, b, atol=1e-5)
+        orig = wavefront.COMPACT_MIN_BUCKET
+        try:
+            wavefront.COMPACT_MIN_BUCKET = 64
+            c = wavefront.render(room_scene, default_camera(), s,
+                                 wave_size=1 << 12, block_size=64)
+        finally:
+            wavefront.COMPACT_MIN_BUCKET = orig
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(c))
+        d = wavefront.render(room_scene, default_camera(), s,
+                             wave_size=1 << 12, block_size=64,
+                             scheduler="pool")
+        np.testing.assert_allclose(ref, d, atol=1e-5)
+
+    def test_unbiased_mean(self, room_scene):
+        """E[radiance] is unchanged by RR: aggressive roulette (rr_start=1)
+        at high spp must agree with the rr-off mean within MC noise."""
+        s = RenderSettings(width=8, height=8, samples_per_pixel=512,
+                           max_bounces=5, seed=3)
+        base = wavefront.render(room_scene, default_camera(), s,
+                                wave_size=1 << 13, block_size=64)
+        rr = wavefront.render(room_scene, default_camera(),
+                              s.replace(rr_start=1, seed=4),
+                              wave_size=1 << 13, block_size=64)
+        # Whole-image mean: 32768 samples; SE ~ 0.01 at sample std ~1-2.
+        assert abs(float(base.mean()) - float(rr.mean())) < 0.03
+        # Per-pixel agreement at MC-noise tolerance.
+        assert float(np.abs(base - rr).mean()) < 0.15
