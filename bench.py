@@ -136,6 +136,28 @@ def main():
     from path_tracer_ai_tpu.engine import wavefront
     from path_tracer_ai_tpu.scene.camera import default_camera
 
+    # Apply the adoption artifact (written by scripts/session_r4.py when
+    # an unattended on-chip A/B session picked new engine toggles that are
+    # not yet promoted to committed defaults). The exactness pins below
+    # read the applied module state, so adopted fused paths stay pinned.
+    adopted_path = "/root/repo/results/adopted_r4.json"
+    if os.path.exists(adopted_path):
+        with open(adopted_path) as f:
+            ad = json.load(f)
+        wavefront.HYBRID_OCCLUDE_KW = ad.get(
+            "occ", wavefront.HYBRID_OCCLUDE_KW)
+        wavefront.CTILES_CLOSEST_KW = ad.get(
+            "closest_kw", wavefront.CTILES_CLOSEST_KW)
+        wavefront.HYBRID_CLOSEST_KW = ad.get(
+            "closest_eng", wavefront.HYBRID_CLOSEST_KW)
+        wavefront.SHADOW_NOSORT_BOUNCE0 = bool(ad.get("nosort_b0", False))
+        wavefront.CLOSEST_NOSORT_BOUNCE0 = bool(ad.get("nosort_b0", False))
+        wavefront.HYBRID_CLOSEST_CLUSTER_SIZE = ad.get(
+            "hybrid_closest_cluster_size",
+            wavefront.HYBRID_CLOSEST_CLUSTER_SIZE)
+        log(f"applied adoption artifact: {ad.get('config')} "
+            f"(session-measured {ad.get('mrays')} Mrays/s)")
+
     sys.path.insert(0, ".")
     from __graft_entry__ import _demo_scene
 

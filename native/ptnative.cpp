@@ -13,6 +13,7 @@
 
 #include <algorithm>
 #include <cctype>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -111,6 +112,115 @@ static inline const char* skip_ws(const char* p, const char* end) {
   return p;
 }
 
+// Face triangulation: fan for convex faces, ear clipping for concave.
+// EXACT twin of objloader.py _triangulate_face — same double-precision
+// expressions, evaluation order, and ear-selection order, so the native
+// and Python parsers emit byte-identical triangle streams.
+static void triangulate_face(const std::vector<int32_t>& fv,
+                             const std::vector<float>& vertices,
+                             std::vector<int>& out) {
+  const int n = (int)fv.size();
+  auto fan = [&]() {
+    for (int k = 1; k + 1 < n; ++k) {
+      out.push_back(0); out.push_back(k); out.push_back(k + 1);
+    }
+  };
+  if (n < 3) return;
+  if (n == 3) { out.push_back(0); out.push_back(1); out.push_back(2); return; }
+  const long vcount = (long)(vertices.size() / 3);
+  for (int k = 0; k < n; ++k)
+    if (fv[k] < 0 || fv[k] >= vcount) { fan(); return; }
+
+  // Newell normal (double precision).
+  double nx = 0.0, ny = 0.0, nz = 0.0;
+  for (int i = 0; i < n; ++i) {
+    const int j = (i + 1) % n;
+    const double xi = vertices[3 * fv[i] + 0], yi = vertices[3 * fv[i] + 1],
+                 zi = vertices[3 * fv[i] + 2];
+    const double xj = vertices[3 * fv[j] + 0], yj = vertices[3 * fv[j] + 1],
+                 zj = vertices[3 * fv[j] + 2];
+    nx += (yi - yj) * (zi + zj);
+    ny += (zi - zj) * (xi + xj);
+    nz += (xi - xj) * (yi + yj);
+  }
+  const double ax = std::fabs(nx), ay = std::fabs(ny), az = std::fabs(nz);
+  std::vector<double> u(n), v(n);
+  double sgn;
+  if (ax >= ay && ax >= az) {
+    sgn = nx >= 0.0 ? 1.0 : -1.0;
+    for (int k = 0; k < n; ++k) {
+      u[k] = vertices[3 * fv[k] + 1]; v[k] = vertices[3 * fv[k] + 2];
+    }
+  } else if (ay >= az) {
+    sgn = ny >= 0.0 ? 1.0 : -1.0;
+    for (int k = 0; k < n; ++k) {
+      u[k] = vertices[3 * fv[k] + 2]; v[k] = vertices[3 * fv[k] + 0];
+    }
+  } else {
+    sgn = nz >= 0.0 ? 1.0 : -1.0;
+    for (int k = 0; k < n; ++k) {
+      u[k] = vertices[3 * fv[k] + 0]; v[k] = vertices[3 * fv[k] + 1];
+    }
+  }
+  if (ax == 0.0 && ay == 0.0 && az == 0.0) { fan(); return; }
+
+  double scale = 0.0;
+  for (int k = 0; k < n; ++k) {
+    scale = std::max(scale, std::fabs(u[k]));
+    scale = std::max(scale, std::fabs(v[k]));
+  }
+  const double eps = 1e-12 * scale * scale;
+
+  auto cross2 = [&](int a, int b, int c) -> double {
+    return (u[b] - u[a]) * (v[c] - v[b]) - (v[b] - v[a]) * (u[c] - u[b]);
+  };
+
+  bool convex = true;
+  for (int i = 0; i < n; ++i) {
+    if (sgn * cross2(i, (i + 1) % n, (i + 2) % n) < -eps) {
+      convex = false;
+      break;
+    }
+  }
+  if (convex) { fan(); return; }
+
+  auto inside = [&](int m, int a, int b, int c) -> bool {
+    return sgn * cross2(a, b, m) > eps && sgn * cross2(b, c, m) > eps &&
+           sgn * cross2(c, a, m) > eps;
+  };
+
+  std::vector<int> live(n);
+  for (int k = 0; k < n; ++k) live[k] = k;
+  while ((int)live.size() > 3) {
+    bool clipped = false;
+    for (int idx = 0; idx < (int)live.size(); ++idx) {
+      const int a = idx ? live[idx - 1] : live.back();
+      const int b = live[idx];
+      const int c = live[(idx + 1) % live.size()];
+      if (sgn * cross2(a, b, c) <= eps) continue;  // reflex or flat
+      bool blocked = false;
+      for (int m : live) {
+        if (m == a || m == b || m == c) continue;
+        if (inside(m, a, b, c)) { blocked = true; break; }
+      }
+      if (blocked) continue;
+      out.push_back(a); out.push_back(b); out.push_back(c);
+      live.erase(live.begin() + idx);
+      clipped = true;
+      break;
+    }
+    if (!clipped) {
+      // degenerate remainder: complete with a fan, like the Python twin
+      for (size_t k = 1; k + 1 < live.size(); ++k) {
+        out.push_back(live[0]); out.push_back(live[k]);
+        out.push_back(live[k + 1]);
+      }
+      return;
+    }
+  }
+  out.push_back(live[0]); out.push_back(live[1]); out.push_back(live[2]);
+}
+
 int pt_obj_parse(const char* path, void** handle_out) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return 1;
@@ -133,6 +243,7 @@ int pt_obj_parse(const char* path, void** handle_out) {
   const char* end = buf.data() + sz;
   // per-face corner scratch
   std::vector<int32_t> fv, ft, fn;
+  std::vector<int> tri_scratch;
 
   while (p < end) {
     const char* line_end = (const char*)memchr(p, '\n', end - p);
@@ -201,11 +312,18 @@ int pt_obj_parse(const char* path, void** handle_out) {
         ft.push_back(has_t ? resolve(ti, h->texcoords.size() / 2) : -1);
         fn.push_back(has_n ? resolve(ni, h->normals.size() / 3) : -1);
       }
-      // fan triangulation (matches objloader.py)
-      for (size_t k = 1; k + 1 < fv.size(); ++k) {
-        h->v_idx.push_back(fv[0]); h->v_idx.push_back(fv[k]); h->v_idx.push_back(fv[k + 1]);
-        h->t_idx.push_back(ft[0]); h->t_idx.push_back(ft[k]); h->t_idx.push_back(ft[k + 1]);
-        h->n_idx.push_back(fn[0]); h->n_idx.push_back(fn[k]); h->n_idx.push_back(fn[k + 1]);
+      // triangulation (matches objloader.py _triangulate_face exactly:
+      // fan for convex faces, ear clipping for concave — same double-
+      // precision expressions, same ear-selection order, so both parsers
+      // stay byte-identical)
+      tri_scratch.clear();
+      triangulate_face(fv, h->vertices, tri_scratch);
+      for (size_t k = 0; k + 3 <= tri_scratch.size(); k += 3) {
+        int ia = tri_scratch[k], ib = tri_scratch[k + 1],
+            ic = tri_scratch[k + 2];
+        h->v_idx.push_back(fv[ia]); h->v_idx.push_back(fv[ib]); h->v_idx.push_back(fv[ic]);
+        h->t_idx.push_back(ft[ia]); h->t_idx.push_back(ft[ib]); h->t_idx.push_back(ft[ic]);
+        h->n_idx.push_back(fn[ia]); h->n_idx.push_back(fn[ib]); h->n_idx.push_back(fn[ic]);
         h->mat_ids.push_back(cur_mat);
       }
     } else if (line_end - q > 7 && std::strncmp(q, "usemtl", 6) == 0 &&

@@ -247,13 +247,26 @@ if rows:
             # S=256 build needed.
             wavefront.HYBRID_CLOSEST_CLUSTER_SIZE = None
         wavefront.clear_executable_caches()
-        emit(probe="adopted", config=tag, mrays=best[0],
-             occ=wavefront.HYBRID_OCCLUDE_KW,
-             closest_kw=wavefront.CTILES_CLOSEST_KW,
-             closest_eng=wavefront.HYBRID_CLOSEST_KW,
-             nosort_b0=wavefront.SHADOW_NOSORT_BOUNCE0,
-             hybrid_closest_cluster_size=(
-                 wavefront.HYBRID_CLOSEST_CLUSTER_SIZE))
+        adopted_cfg = dict(
+            config=tag, mrays=best[0],
+            occ=wavefront.HYBRID_OCCLUDE_KW,
+            closest_kw=wavefront.CTILES_CLOSEST_KW,
+            closest_eng=wavefront.HYBRID_CLOSEST_KW,
+            nosort_b0=wavefront.SHADOW_NOSORT_BOUNCE0,
+            hybrid_closest_cluster_size=(
+                wavefront.HYBRID_CLOSEST_CLUSTER_SIZE),
+        )
+        emit(probe="adopted", **adopted_cfg)
+        # Persist for bench.py: an unattended recovery session can land
+        # while nobody is around to promote the winners into committed
+        # defaults; the bench applies this artifact so the driver-run
+        # headline measures the adopted engine. Deleted when the defaults
+        # are committed.
+        import os
+
+        os.makedirs("/root/repo/results", exist_ok=True)
+        with open("/root/repo/results/adopted_r4.json", "w") as f:
+            json.dump(adopted_cfg, f, indent=1)
 
 # ---------------------------------------------------------------------------
 # 3. baselines at the adopted config (+ literal-spec pins + 4K increment)
