@@ -272,9 +272,12 @@ if rows:
 # 3. baselines at the adopted config (+ literal-spec pins + 4K increment)
 # ---------------------------------------------------------------------------
 if "--skip-baselines" not in sys.argv:
-    bargs = ["--spp-increment", "64",
-             "--skip", "evidence", "rmse1pct"]  # engine-independent,
-    # recorded in round 3; don't re-pay their oracles.
+    # 4K increment 192: lineage is at 64/1024 cumulative and the round-3
+    # verdict's bar is >=256; per-pass checkpointing makes an interruption
+    # cost one pass, not the increment. evidence/rmse1pct rows are
+    # engine-independent accuracy artifacts recorded in round 3.
+    bargs = ["--spp-increment", "192",
+             "--skip", "evidence", "rmse1pct"]
     if smoke:
         # Smoke must NOT touch the 4K lineage checkpoint or the slow
         # configs; it validates plumbing only.
