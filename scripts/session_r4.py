@@ -294,6 +294,41 @@ if "--skip-baselines" not in sys.argv:
                      "4k"])
 
 # ---------------------------------------------------------------------------
+# 3b. Russian-roulette 4K speedup (verdict #7's measurement half: the
+# unbiasedness statistical test is CI; this quantifies the win on the
+# 16-bounce config). Separate settings from the lineage checkpoint (rr
+# changes the image, so it must never touch the no-RR accumulation).
+# ---------------------------------------------------------------------------
+if "--skip-baselines" not in sys.argv and not smoke:
+    try:
+        from path_tracer_ai_tpu import benchmarks
+        from path_tracer_ai_tpu.engine import wavefront
+
+        cfg = benchmarks.get_configs(1.0)["4k"]
+        sc4, cam4 = benchmarks.build_config_scene(cfg)
+        s_rr = cfg.settings.replace(samples_per_pixel=2, seed=9)
+        walls = {}
+        for rr in (0, 3):
+            s = s_rr.replace(rr_start=rr)
+            wavefront.render(sc4, cam4, s, wave_size=1 << 20,
+                             block_size=64)  # warm
+            stats = wavefront.RenderStats()
+            t0 = time.perf_counter()
+            img = wavefront.render(sc4, cam4, s, wave_size=1 << 20,
+                                   block_size=64, stats=stats)
+            walls[rr] = (time.perf_counter() - t0,
+                         stats.total_rays, float(np.asarray(img).mean()))
+        emit(probe="rr_4k_speedup",
+             config="3840x2160@2spp/16b",
+             wall_rr0_s=round(walls[0][0], 1),
+             wall_rr3_s=round(walls[3][0], 1),
+             speedup=round(walls[0][0] / walls[3][0], 3),
+             rays_rr0=walls[0][1], rays_rr3=walls[3][1],
+             mean_rr0=round(walls[0][2], 5), mean_rr3=round(walls[3][2], 5))
+    except Exception as e:  # noqa: BLE001
+        emit(probe="rr_4k_speedup", error=str(e)[:300])
+
+# ---------------------------------------------------------------------------
 # 4. probe K (diagnostic sweeps; least critical, runs last)
 # ---------------------------------------------------------------------------
 if "--skip-probes" not in sys.argv and not smoke:

@@ -377,3 +377,41 @@ def test_pallas_tile_sweep_matches_mt_sweep(rng):
                                    interpret=True, sub_skip=True)
     np.testing.assert_array_equal(np.asarray(t_sub), np.asarray(t_got))
     np.testing.assert_array_equal(np.asarray(tri_sub), np.asarray(tri_got))
+
+
+def test_wavefront_render_combo_cascade_interpret(rng):
+    """Full render through the round-4 adoption candidate (fused closest
+    cascade + fused shadow cascade with early_skip/sub_skip, interpret
+    mode) vs the production hybrid. hit/tri selection is exact, but t
+    crosses a different arithmetic path (XLA CPU FMA contraction — see
+    CLAUDE.md), so images compare at tolerance, not bitwise."""
+    import functools
+
+    from path_tracer_ai_tpu.config import RenderSettings
+    from path_tracer_ai_tpu.engine import wavefront
+    from path_tracer_ai_tpu.scene.camera import default_camera
+    from tests.test_wavefront import room_scene
+
+    scene = room_scene.__wrapped__()
+    s = RenderSettings(width=32, height=18, samples_per_pixel=2,
+                       max_bounces=3, seed=5)
+    ref = wavefront.render(scene, default_camera(), s, wave_size=1 << 11,
+                           block_size=64, backend="hybrid")
+    occ0 = wavefront.HYBRID_OCCLUDE_KW
+    cl0 = wavefront.HYBRID_CLOSEST_KW
+    try:
+        wavefront.HYBRID_OCCLUDE_KW = dict(
+            engine="packets_fused", early_skip=True, sub_skip=True,
+            interpret=True)
+        wavefront.HYBRID_CLOSEST_KW = dict(
+            engine="cascade_fused", interpret=True)
+        wavefront.clear_executable_caches()
+        img = wavefront.render(scene, default_camera(), s,
+                               wave_size=1 << 11, block_size=64,
+                               backend="hybrid")
+    finally:
+        wavefront.HYBRID_OCCLUDE_KW = occ0
+        wavefront.HYBRID_CLOSEST_KW = cl0
+        wavefront.clear_executable_caches()
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                               atol=5e-5)
