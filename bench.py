@@ -42,20 +42,30 @@ def _supervise(argv) -> int:
     """Run the bench as a retried subprocess: each attempt is its own TPU
     client that exits cleanly on its own (never killed mid-init — killing a
     client mid-init wedges the tunnel for 10-45+ min). Retry ONLY on the
-    known outage signature, with quiet gaps, for up to ~45 min total."""
-    deadline = time.monotonic() + 45 * 60
+    known outage signature, with quiet gaps, for up to ~45 min total.
+
+    PT_BENCH_INNER_CMD / PT_BENCH_RETRY_SLEEP / PT_BENCH_DEADLINE_S exist
+    so tests can exercise this logic without starting TPU clients.
+    """
+    retry_sleep = float(os.environ.get("PT_BENCH_RETRY_SLEEP", 300))
+    deadline = time.monotonic() + float(
+        os.environ.get("PT_BENCH_DEADLINE_S", 45 * 60))
+    inner_cmd = os.environ.get("PT_BENCH_INNER_CMD")
     attempt = 0
     while True:
         attempt += 1
         log(f"[bench supervisor] attempt {attempt}")
+        cmd = (
+            [sys.executable, "-c", inner_cmd] if inner_cmd
+            else [sys.executable, os.path.abspath(__file__), "--_inner",
+                  *argv]
+        )
         try:
             # Ceiling well above both the normal bench (~15 min incl.
             # compile + one-time first-D2H) and the outage's explicit
             # UNAVAILABLE throw (~30 min): only a genuine wedge hits it.
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--_inner",
-                 *argv],
-                stdout=subprocess.PIPE, stderr=None, timeout=50 * 60,
+                cmd, stdout=subprocess.PIPE, stderr=None, timeout=50 * 60,
             )
         except subprocess.TimeoutExpired as e:
             # A hung client means a wedged tunnel; killing it is the
@@ -80,8 +90,8 @@ def _supervise(argv) -> int:
                 f"rc={proc.returncode})")
             return proc.returncode or 1
         log("[bench supervisor] TPU outage signature; clean-exit retry "
-            "after 300s quiet")
-        time.sleep(300)
+            f"after {retry_sleep:.0f}s quiet")
+        time.sleep(retry_sleep)
 
 
 def main():
