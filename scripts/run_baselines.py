@@ -1,6 +1,6 @@
 """Run the five BASELINE.json configs end-to-end; emit RESULTS.md + JSON.
 
-ONE TPU process (tunnel hazard rules). Writes results/results_r3.json and
+ONE TPU process (tunnel hazard rules). Writes results/results_r4.json and
 RESULTS.md at the repo root. All throughput rows are WARM: a same-shape
 warmup render compiles every executable first and per-config compile time
 is recorded separately (warm_s).
@@ -81,7 +81,12 @@ def main():
     # Merge with a previous partial run (e.g. re-running the fast configs
     # warm after a methodology fix without repeating gpu-parity/4k) and
     # seed from the prior round's artifact (the 4k lineage lives there).
-    prev = "/root/repo/results/results_r4.json"
+    # CPU smoke runs write to SEPARATE artifacts: a smoke must never
+    # clobber RESULTS.md / results_r4.json with CPU-speed rows.
+    prev = ("/root/repo/results/results_smoke.json" if args.cpu
+            else "/root/repo/results/results_r4.json")
+    results_md = ("/root/repo/RESULTS_smoke.md" if args.cpu
+                  else "/root/repo/RESULTS.md")
     for seed_path in ("/root/repo/results/results_r3.json", prev):
         if os.path.exists(seed_path):
             with open(seed_path) as f:
@@ -360,9 +365,9 @@ def main():
         lines += ["",
                   f"Cross-seed wavefront RMSE ({rr['config']}): "
                   f"{rr['rmse_pct']}% — the MC-noise level at this spp."]
-    with open("/root/repo/RESULTS.md", "w") as f:
+    with open(results_md, "w") as f:
         f.write("\n".join(lines) + "\n")
-    log("wrote RESULTS.md + results/results_r3.json")
+    log("wrote RESULTS.md + " + prev)
     print(json.dumps(results))
 
 

@@ -44,7 +44,10 @@ def emit(**kw):
     print(json.dumps(kw), flush=True)
 
 
-smoke = "--cpu" in sys.argv
+# run_section REASSIGNS sys.argv for each child script — snapshot our own
+# flags first and test only the snapshot from here on.
+ARGS = list(sys.argv[1:])
+smoke = "--cpu" in ARGS
 
 tlog("importing jax")
 import jax  # noqa: E402
@@ -116,95 +119,16 @@ def run_section(name, path, argv):
 # 1. probe J (all pending levers, with identity gates)
 # ---------------------------------------------------------------------------
 rows = []
-if "--skip-probes" not in sys.argv:
+if "--skip-probes" not in ARGS:
     rows = run_section("probe_j", "/root/repo/scripts/probe_r3j.py",
                        (["--cpu"] if smoke else []))
 
 # ---------------------------------------------------------------------------
-# 2. adoption (docs/R3_SESSION_NOTES.md decision procedure, automated)
+# 2. adoption (docs/R3_SESSION_NOTES.md decision procedure, automated —
+# the pure decision lives in scripts/adoption_r4.py and is unit-tested)
 # ---------------------------------------------------------------------------
-by_probe = {}
-for r in rows:
-    by_probe.setdefault(r.get("probe"), []).append(r)
-
-
-def wave_ok(probe, engine, *mismatch_keys):
-    """True iff the wave-level row exists, errored not, and every listed
-    mismatch counter is zero (bitwise identity on chip)."""
-    for r in by_probe.get(probe, []):
-        if r.get("engine") == engine:
-            if "error" in r:
-                return False
-            return all(r.get(k, 0) == 0 for k in mismatch_keys)
-    return False
-
-
-def image_ok(flag):
-    for r in by_probe.get(flag, []):
-        return bool(r.get("identical"))
-    return False
-
-
-def e2e_mrays(tag):
-    for r in by_probe.get("e2e", []):
-        if r.get("config") == tag and "mrays" in r:
-            return float(r["mrays"])
-    return None
-
-
-# Each candidate: (e2e tag, identity gates, engine-toggle thunk).
-OCC_PROD = dict(engine="packets", group_size=2)
-CANDIDATES = [
-    ("shadow_packets_g2", [], dict()),
-    ("shadow_packets_g2_nosort",
-     [lambda: image_ok("e2e_same_image_xla_nosort"),
-      lambda: wave_ok("shadow7", "xla_b64_g2_nosort", "mismatch")],
-     dict(occ=dict(engine="packets", group_size=2, sort=False))),
-    ("shadow_fused_b128",
-     [lambda: image_ok("e2e_same_image"),
-      lambda: wave_ok("shadow7", "fused_b128", "mismatch")],
-     dict(occ=dict(engine="packets_fused"))),
-    ("shadow_fused_skip",
-     [lambda: image_ok("e2e_same_image_skip"),
-      lambda: wave_ok("shadow7", "fused_b128_skip", "mismatch")],
-     dict(occ=dict(engine="packets_fused", early_skip=True))),
-    ("shadow_fused_skip_nosort",
-     [lambda: image_ok("e2e_same_image_nosort"),
-      lambda: wave_ok("shadow7", "fused_b128_skip_nosort", "mismatch")],
-     dict(occ=dict(engine="packets_fused", early_skip=True, sort=False))),
-    ("shadow_g2_nosort_b0",
-     [lambda: image_ok("e2e_same_image_nosort_b0")],
-     dict(nosort_b0=True)),
-    ("closest_sub",
-     [lambda: image_ok("e2e_same_image_closest_sub"),
-      lambda: wave_ok("closest_sub", "pallas_sub",
-                      "mismatch_t", "mismatch_tri")],
-     dict(closest_sub=True)),
-    ("shadow_fused_skip_sub",
-     [lambda: image_ok("e2e_same_image_shadow_sub"),
-      lambda: wave_ok("shadow7", "fused_b128_skip_sub", "mismatch")],
-     dict(occ=dict(engine="packets_fused", early_skip=True,
-                   sub_skip=True))),
-    ("combo_sub",
-     [lambda: image_ok("e2e_same_image_combo_sub"),
-      lambda: wave_ok("shadow7", "fused_b128_skip_sub", "mismatch"),
-      lambda: wave_ok("closest_sub", "pallas_sub",
-                      "mismatch_t", "mismatch_tri")],
-     dict(occ=dict(engine="packets_fused", early_skip=True, sub_skip=True),
-          closest_sub=True)),
-    ("closest_cascade",
-     [lambda: image_ok("e2e_same_image_closest_cascade"),
-      lambda: wave_ok("closest_cascade", "s128_sub",
-                      "mismatch_t", "mismatch_tri")],
-     dict(closest_eng=dict(engine="cascade_fused"))),
-    ("combo_cascade",
-     [lambda: image_ok("e2e_same_image_combo_cascade"),
-      lambda: wave_ok("closest_cascade", "s128_sub",
-                      "mismatch_t", "mismatch_tri"),
-      lambda: wave_ok("shadow7", "fused_b128_skip_sub", "mismatch")],
-     dict(occ=dict(engine="packets_fused", early_skip=True, sub_skip=True),
-          closest_eng=dict(engine="cascade_fused"))),
-]
+sys.path.insert(0, "/root/repo/scripts")
+from adoption_r4 import OCC_PROD, decide  # noqa: E402
 
 adopted = None
 if rows:
@@ -220,14 +144,9 @@ if rows:
     _wf.HYBRID_CLOSEST_CLUSTER_SIZE = 256
     _wf.clear_executable_caches()
 
-    best = None
-    for tag, gates, toggles in CANDIDATES:
-        m = e2e_mrays(tag)
-        eligible = m is not None and all(g() for g in gates)
-        emit(probe="adoption_candidate", config=tag, mrays=m,
-             eligible=bool(eligible))
-        if eligible and (best is None or m > best[0]):
-            best = (m, tag, toggles)
+    best, cand_rows = decide(rows)
+    for c in cand_rows:
+        emit(probe="adoption_candidate", **c)
     if best is not None:
         adopted = best
         from path_tracer_ai_tpu.engine import wavefront
@@ -271,7 +190,7 @@ if rows:
 # ---------------------------------------------------------------------------
 # 3. baselines at the adopted config (+ literal-spec pins + 4K increment)
 # ---------------------------------------------------------------------------
-if "--skip-baselines" not in sys.argv:
+if "--skip-baselines" not in ARGS:
     # 4K increment 192: lineage is at 64/1024 cumulative and the round-3
     # verdict's bar is >=256; per-pass checkpointing makes an interruption
     # cost one pass, not the increment. evidence/rmse1pct rows are
@@ -286,7 +205,7 @@ if "--skip-baselines" not in sys.argv:
                  "dielectric", "gpu-parity"]
     run_section("baselines", "/root/repo/scripts/run_baselines.py", bargs)
 
-    if "--skip-cpuref-pin" not in sys.argv and not smoke:
+    if "--skip-cpuref-pin" not in ARGS and not smoke:
         # The ~1h cpu-ref literal-spec oracle pin, alone and last.
         run_section("cpuref_pin", "/root/repo/scripts/run_baselines.py",
                     ["--cpuref-pin", "--skip", "cpu-ref", "cornell",
@@ -299,7 +218,7 @@ if "--skip-baselines" not in sys.argv:
 # 16-bounce config). Separate settings from the lineage checkpoint (rr
 # changes the image, so it must never touch the no-RR accumulation).
 # ---------------------------------------------------------------------------
-if "--skip-baselines" not in sys.argv and not smoke:
+if "--skip-baselines" not in ARGS and not smoke:
     try:
         from path_tracer_ai_tpu import benchmarks
         from path_tracer_ai_tpu.engine import wavefront
@@ -331,7 +250,7 @@ if "--skip-baselines" not in sys.argv and not smoke:
 # ---------------------------------------------------------------------------
 # 4. probe K (diagnostic sweeps; least critical, runs last)
 # ---------------------------------------------------------------------------
-if "--skip-probes" not in sys.argv and not smoke:
+if "--skip-probes" not in ARGS and not smoke:
     run_section("probe_k", "/root/repo/scripts/probe_r3k.py", [])
 
 emit(probe="session_done",

@@ -113,3 +113,84 @@ class TestBenchSupervisor:
             "setup/compile error'); raise SystemExit(2)",
             monkeypatch, deadline="-1")
         assert rc == 2
+
+
+class TestAdoptionR4:
+    """The unattended lever-adoption decision (scripts/adoption_r4.py)."""
+
+    def _mod(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "adoption_r4", "/root/repo/scripts/adoption_r4.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def _rows(self, **e2e):
+        rows = [dict(probe="e2e", config=k, mrays=v)
+                for k, v in e2e.items()]
+        # all wave-level rows exact, all images identical by default
+        for eng in ("xla_b64_g2_nosort", "fused_b128", "fused_b128_skip",
+                    "fused_b128_skip_nosort", "fused_b128_skip_sub"):
+            rows.append(dict(probe="shadow7", engine=eng, mismatch=0))
+        rows.append(dict(probe="closest_sub", engine="pallas_sub",
+                         mismatch_t=0, mismatch_tri=0))
+        rows.append(dict(probe="closest_cascade", engine="s128_sub",
+                         mismatch_t=0, mismatch_tri=0))
+        for flag in ("e2e_same_image_xla_nosort", "e2e_same_image",
+                     "e2e_same_image_skip", "e2e_same_image_nosort",
+                     "e2e_same_image_nosort_b0",
+                     "e2e_same_image_closest_sub",
+                     "e2e_same_image_shadow_sub",
+                     "e2e_same_image_combo_sub",
+                     "e2e_same_image_closest_cascade",
+                     "e2e_same_image_combo_cascade"):
+            rows.append(dict(probe=flag, identical=True))
+        return rows
+
+    def test_argmax_wins(self):
+        mod = self._mod()
+        rows = self._rows(shadow_packets_g2=3.0, combo_cascade=4.5,
+                          combo_sub=4.1)
+        best, cands = mod.decide(rows)
+        assert best[1] == "combo_cascade" and best[0] == 4.5
+        assert best[2]["closest_eng"] == dict(engine="cascade_fused")
+
+    def test_image_mismatch_disqualifies(self):
+        mod = self._mod()
+        rows = self._rows(shadow_packets_g2=3.0, combo_cascade=4.5)
+        for r in rows:
+            if r.get("probe") == "e2e_same_image_combo_cascade":
+                r["identical"] = False
+        best, cands = mod.decide(rows)
+        assert best[1] == "shadow_packets_g2"
+        by = {c["config"]: c for c in cands}
+        assert not by["combo_cascade"]["eligible"]
+
+    def test_wave_mismatch_disqualifies(self):
+        mod = self._mod()
+        rows = self._rows(shadow_packets_g2=3.0, shadow_fused_skip=5.0)
+        for r in rows:
+            if (r.get("probe") == "shadow7"
+                    and r.get("engine") == "fused_b128_skip"):
+                r["mismatch"] = 7
+        best, _ = mod.decide(rows)
+        assert best[1] == "shadow_packets_g2"
+
+    def test_errored_wave_row_disqualifies(self):
+        mod = self._mod()
+        rows = self._rows(shadow_packets_g2=3.0, closest_cascade=6.0)
+        for r in rows:
+            if (r.get("probe") == "closest_cascade"
+                    and r.get("engine") == "s128_sub"):
+                r.pop("mismatch_t"); r.pop("mismatch_tri")
+                r["error"] = "boom"
+        best, _ = mod.decide(rows)
+        assert best[1] == "shadow_packets_g2"
+
+    def test_no_rows_no_adoption(self):
+        mod = self._mod()
+        best, cands = mod.decide([])
+        assert best is None
+        assert all(not c["eligible"] for c in cands)
