@@ -38,6 +38,35 @@ _OUTAGE_MARKERS = (
 )
 
 
+_SESSION_MARKERS = (b"session_r4.py", b"session_r3jk.py")
+
+
+def _session_client_running(markers=_SESSION_MARKERS) -> bool:
+    """A measurement-session TPU client (the outage retry loop's attempt)
+    is alive: the bench must NOT start a second client next to it (two
+    concurrent clients wedge the tunnel; CLAUDE.md). Detected by scanning
+    /proc cmdlines — never by pgrep/pkill patterns. `markers` is
+    overridable (env PT_BENCH_SESSION_MARKERS, comma-separated) so tests
+    can watch a dummy process without colliding with a live session."""
+    env_markers = os.environ.get("PT_BENCH_SESSION_MARKERS")
+    if env_markers:
+        markers = tuple(m.encode() for m in env_markers.split(","))
+    try:
+        import glob
+
+        for p in glob.glob("/proc/[0-9]*/cmdline"):
+            try:
+                with open(p, "rb") as f:
+                    cmd = f.read().replace(b"\0", b" ")
+            except OSError:
+                continue
+            if any(m in cmd for m in markers):
+                return True
+    except Exception:  # noqa: BLE001 - detection is best-effort
+        pass
+    return False
+
+
 def _supervise(argv) -> int:
     """Run the bench as a retried subprocess: each attempt is its own TPU
     client that exits cleanly on its own (never killed mid-init — killing a
@@ -51,6 +80,39 @@ def _supervise(argv) -> int:
     deadline = time.monotonic() + float(
         os.environ.get("PT_BENCH_DEADLINE_S", 45 * 60))
     inner_cmd = os.environ.get("PT_BENCH_INNER_CMD")
+    # Stand down the outage retry loop (its session_r3jk shim exits with
+    # output when this file exists, which stops the loop) and wait out any
+    # session client already mid-flight — never two TPU clients at once.
+    # A live RECOVERED session can run 3-4h and produces the round's
+    # numbers; waiting is strictly better than colliding with it.
+    # Skipped under the PT_BENCH_INNER_CMD test hook: tests must not write
+    # the real stop-file and stand down a live outage retry loop.
+    if inner_cmd is None or os.environ.get("PT_BENCH_FORCE_STANDDOWN"):
+        stopfile = os.environ.get(
+            "PT_BENCH_STOPFILE", "/tmp/pt_bench_wants_tpu")
+        try:
+            with open(stopfile, "w") as f:
+                f.write(str(os.getpid()))
+        except OSError:
+            pass
+        session_wait = time.monotonic() + float(
+            os.environ.get("PT_BENCH_SESSION_WAIT_S", 6 * 3600))
+        poll_s = float(os.environ.get("PT_BENCH_SESSION_POLL_S", 60))
+        waited = False
+        while _session_client_running() and time.monotonic() < session_wait:
+            if not waited:
+                log("[bench supervisor] a measurement-session TPU client is "
+                    "running; waiting for it (one client at a time)")
+                waited = True
+            time.sleep(poll_s)
+        if waited:
+            gap_s = float(os.environ.get("PT_BENCH_CLIENT_GAP_S", 180))
+            log("[bench supervisor] session client gone; proceeding after "
+                f"a {gap_s:.0f}s inter-client gap")
+            time.sleep(gap_s)
+            deadline = time.monotonic() + float(
+                os.environ.get("PT_BENCH_DEADLINE_S", 45 * 60))
+
     attempt = 0
     while True:
         attempt += 1
