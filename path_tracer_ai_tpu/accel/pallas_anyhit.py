@@ -225,7 +225,7 @@ def _next_pow2(x: int) -> int:
     jax.jit,
     static_argnames=(
         "block_size", "sort_mode", "interpret", "early_skip", "kernel_chunk",
-        "sort", "sub_skip",
+        "sort", "sub_skip", "exact_cull",
     ),
 )
 def any_hit_fused(
@@ -241,6 +241,7 @@ def any_hit_fused(
     kernel_chunk: int = 8192,
     sort: bool = True,
     sub_skip: bool = False,
+    exact_cull: int = 0,
 ) -> jnp.ndarray:
     """Occlusion query over a wave via the fused Pallas cascade.
 
@@ -254,6 +255,14 @@ def any_hit_fused(
     light-major with consecutive lanes = neighboring compacted pixels, so
     blocks are already origin/direction coherent, and the cull's
     live-masked bounds keep interleaved dead lanes from widening them.
+
+    exact_cull=K (round-4 lever) replaces the conservative interval cull
+    with traverse._exact_block_candidates (per-ray-exact OR-union via the
+    2-level hierarchy, super shortlist cap K): 8-10x fewer candidate
+    cluster DMAs on real b128 shadow waves (probe_r4_exact_shadow), at
+    the cost of the per-lane 2-level slab pass. Exact either way — the
+    candidate set still contains every cluster any live lane can hit —
+    so occlusion results are identical bit-for-bit.
     """
     n0 = origins.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n0,))
@@ -282,9 +291,14 @@ def any_hit_fused(
     d_blk = directions.reshape(nb, block_size, 3)
     tmax_blk = t_max.reshape(nb, block_size)
 
-    order, n_cand, _entry = traverse._block_candidates(
-        accel, o_blk, d_blk, tmax_blk
-    )
+    if exact_cull:
+        order, n_cand = traverse._exact_block_candidates(
+            accel, o_blk, d_blk, tmax_blk, t_min, ksup=exact_cull
+        )
+    else:
+        order, n_cand, _entry = traverse._block_candidates(
+            accel, o_blk, d_blk, tmax_blk
+        )
     g = GROUP
     c = accel.num_clusters
     dummy = jnp.int32(c)

@@ -202,6 +202,143 @@ def _block_candidates(accel, o_blk, d_blk, t_max_blk):
     return order, n_cand, entry_sorted
 
 
+def _exact_block_candidates(accel, o_blk, d_blk, tm_blk, t_min,
+                            ksup: int = 16, row_chunk: int = 1 << 8):
+    """PER-RAY-EXACT OR-union candidate clusters per block (round-4 lever).
+
+    The conservative interval cull (`_block_candidates`) over-includes by
+    8-10x on real 128-lane shadow waves (probe_r4_exact_shadow: 551k->65k
+    candidates at b128_dir bounce-0) — every over-included candidate costs
+    the fused cascade a [16, S] cluster-pack DMA that sub_skip cannot
+    remove (it gates the MT, not the fetch). This cull computes the exact
+    union of per-lane slab hits via the 2-level hierarchy so its own cost
+    stays bounded:
+
+      1. per-LANE slab vs the Cs supercluster AABBs, OR'd per block;
+      2. per-block super shortlist (top_k, cap `ksup`) -> gather the
+         shortlisted supers' child AABBs ([ksup, super_size, 3] rows,
+         contiguous per super);
+      3. per-LANE slab vs the gathered children, OR'd per block
+         (row-chunked: [row_chunk, B, ksup*super_size] at a time).
+
+    Blocks whose per-block super union exceeds `ksup` fall back to the
+    conservative candidate list (over-inclusion is exact; measured p99
+    super count is ~20-24 of 41 at b128, so the tail is small). Returns
+    (order [nb, C] candidate ids ascending-id-first, n_cand [nb]). Dead
+    lanes (t_max < 0) contribute nothing (hi0 = -inf fails every slab).
+
+    The slab uses the sign-select near/far form, so the inverted padding
+    boxes in the child table (clusters.py builds min=+3e37/max=-3e37 for
+    the last partially-filled super) fail every lane — the advisor-flagged
+    hazard of the min/max form. No scatters (scatter-resolve measured
+    2.3x worse, docs/ARCHITECTURE.md): the candidate list is built by
+    sorting shortlist-child ids directly.
+    """
+    nb, bs = o_blk.shape[:2]
+    c = accel.num_clusters
+    cs = accel.num_supers
+    ss = accel.super_size
+    kx = min(ksup, cs)
+    kchild = kx * ss
+
+    # Conservative list: the overflow fallback AND the uniform [nb, C]
+    # return shape (exact entries are padded into it below).
+    order_cons, n_cons, _entry = _block_candidates(accel, o_blk, d_blk,
+                                                   tm_blk)
+
+    def slab_lanes(o, d, hi0, bmn, bmx):
+        """Sign-select slab: rays [..., 3] vs boxes bmn/bmx.
+
+        o, d, hi0: [R, B, 3]/[R, B]; bmn/bmx: [K, 3] (shared) or
+        [R, K, 3] (per-chunk-row gathered). Returns pass [R, B, K] bool.
+        Component-wise chains (no [..., 3] stacking) so XLA fuses into
+        the OR-reduction. NaN (origin exactly on a slab plane of an
+        axis-parallel ray) must not exclude — guard to the identity
+        bounds; inverted boxes still fail on their other axes.
+        """
+        inv = 1.0 / d
+        lo = jnp.full(o.shape[:2] + (bmn.shape[-2],), jnp.float32(t_min))
+        hi = hi0[..., None]
+        for a in range(3):
+            if bmn.ndim == 2:
+                bl = bmn[None, None, :, a]
+                bh = bmx[None, None, :, a]
+            else:
+                bl = bmn[:, None, :, a]
+                bh = bmx[:, None, :, a]
+            iv = inv[..., a][..., None]
+            o_ = o[..., a][..., None]
+            pos = iv >= 0.0
+            tn = (jnp.where(pos, bl, bh) - o_) * iv
+            tf = (jnp.where(pos, bh, bl) - o_) * iv
+            tn = jnp.where(jnp.isnan(tn), -jnp.inf, tn)
+            tf = jnp.where(jnp.isnan(tf), jnp.inf, tf)
+            lo = jnp.maximum(lo, tn)
+            hi = jnp.minimum(hi, tf)
+        return lo <= hi
+
+    pad_rows = (-nb) % row_chunk
+    if pad_rows:
+        o_blk = jnp.pad(o_blk, ((0, pad_rows), (0, 0), (0, 0)))
+        d_blk = jnp.pad(d_blk, ((0, pad_rows), (0, 0), (0, 0)),
+                        constant_values=1.0)
+        tm_blk = jnp.pad(tm_blk, ((0, pad_rows), (0, 0)),
+                         constant_values=-1.0)
+    nch = o_blk.shape[0] // row_chunk
+    o_ch = o_blk.reshape(nch, row_chunk, bs, 3)
+    d_ch = d_blk.reshape(nch, row_chunk, bs, 3)
+    t_ch = tm_blk.reshape(nch, row_chunk, bs)
+
+    neg_big = jnp.int32(-(2**30))
+    scol = jnp.arange(cs, dtype=jnp.int32)[None, :]
+    child = jnp.arange(ss, dtype=jnp.int32)
+
+    def one_chunk(args):
+        oc, dc, tc = args                           # [R, B, ...]
+        hi0 = jnp.where(tc >= 0.0, tc, -jnp.inf)    # dead lanes fail all
+        # 1. per-lane slab vs supers, OR'd per block
+        sup = slab_lanes(oc, dc, hi0, accel.sbmin, accel.sbmax)
+        sup_blk = jnp.any(sup, axis=1)              # [R, Cs]
+        n_sup = jnp.sum(sup_blk, axis=1).astype(jnp.int32)
+        # 2. shortlist (ascending super ids; garbage slots clamp to a
+        # DUPLICATE of super cs-1 — masked below via the slot index)
+        neg = jnp.where(sup_blk, -scol, neg_big)
+        svals, _ = jax.lax.top_k(neg, kx)
+        sup_ids = jnp.minimum(-svals, cs - 1)       # [R, kx]
+        slot_ok = jnp.arange(kx, dtype=jnp.int32)[None, :] < n_sup[:, None]
+        # 3. per-lane slab vs gathered children (padding slots hold
+        # inverted boxes -> sign-select slab fails them on every lane)
+        cbmn = accel.cbmin[sup_ids].reshape(-1, kchild, 3)
+        cbmx = accel.cbmax[sup_ids].reshape(-1, kchild, 3)
+        hitk = slab_lanes(oc, dc, hi0, cbmn, cbmx)  # [R, B, kchild]
+        cand_k = jnp.any(hitk, axis=1)              # [R, kchild]
+        cand_k &= jnp.repeat(slot_ok, ss, axis=1)
+        cids = (sup_ids[:, :, None] * ss + child[None, None, :]).reshape(
+            -1, kchild)
+        # sorted ascending; non-candidates (and child ids past C) sink to
+        # the sentinel C, which the caller's n_cand guard never reads
+        ids = jnp.where(cand_k & (cids < c), cids, jnp.int32(c))
+        ids = jnp.sort(ids, axis=1)
+        n_ex = jnp.sum(ids < c, axis=1).astype(jnp.int32)
+        return ids, n_ex, n_sup
+
+    ids, n_ex, n_sup = jax.lax.map(one_chunk, (o_ch, d_ch, t_ch))
+    ids = ids.reshape(-1, kchild)[:nb]
+    n_ex = n_ex.reshape(-1)[:nb]
+    over = n_sup.reshape(-1)[:nb] > kx
+
+    # Uniform [nb, C] order: exact ids first (padded with C) for in-cap
+    # blocks, the conservative list for overflow blocks.
+    if kchild < c:
+        ids = jnp.pad(ids, ((0, 0), (0, c - kchild)),
+                      constant_values=c)
+    else:
+        ids = ids[:, :c]
+    order = jnp.where(over[:, None], order_cons, jnp.minimum(ids, c - 1))
+    n_cand = jnp.where(over, n_cons, n_ex)
+    return order, n_cand
+
+
 def _mt_sweep(o_blk, d_blk, cv0, ce1, ce2, t_min, t_max_blk):
     """Dense Möller–Trumbore: [B,R] rays vs per-block [B,S] triangles.
 

@@ -279,6 +279,7 @@ def packet_backend(
                        sort_mode=okw.get("sort_mode", "dir"),
                        early_skip=okw.get("early_skip", False),
                        sub_skip=okw.get("sub_skip", False),
+                       exact_cull=okw.get("exact_cull", 0),
                        sort=okw.get("sort", True)
                        if occlude_sort is None else occlude_sort)
             if jax.default_backend() == "tpu" or okw.get("interpret", False):

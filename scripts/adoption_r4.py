@@ -62,6 +62,19 @@ CANDIDATES = [
       ("wave", "shadow7", "fused_b128_skip_sub", "mismatch")],
      dict(occ=dict(engine="packets_fused", early_skip=True, sub_skip=True),
           closest_eng=dict(engine="cascade_fused"))),
+    ("shadow_fused_exact",
+     [("image", "e2e_same_image_shadow_exact"),
+      ("wave", "shadow7", "fused_b128_skip_sub_exact16", "mismatch")],
+     dict(occ=dict(engine="packets_fused", early_skip=True, sub_skip=True,
+                   exact_cull=16))),
+    ("combo_cascade_exact",
+     [("image", "e2e_same_image_combo_cascade_exact"),
+      ("wave", "shadow7", "fused_b128_skip_sub_exact16", "mismatch"),
+      ("wave", "closest_cascade", "s128_sub", "mismatch_t",
+       "mismatch_tri")],
+     dict(occ=dict(engine="packets_fused", early_skip=True, sub_skip=True,
+                   exact_cull=16),
+          closest_eng=dict(engine="cascade_fused"))),
 ]
 
 

@@ -147,6 +147,20 @@ shadow_case("fused_b128_skip_sub", lambda: pallas_anyhit.any_hit_fused(
 shadow_case("fused_b128_skip_sub_nosort", lambda: pallas_anyhit.any_hit_fused(
     accel, osh, dsh, RAY_TMIN, tsh, block_size=128, early_skip=True,
     sub_skip=True, sort=False, **ikw))
+# per-ray-exact 2-level cull (round-4 lever, probe_r4_exact_shadow: 8.5x
+# fewer candidate DMAs at b128_dir bounce-0, 21.5x at bounce-1; super
+# shortlist p99 ~20 of 41 -> ksup 16 vs 24 trades refine cost vs
+# conservative-fallback tail)
+shadow_case("fused_b128_skip_sub_exact16", lambda: pallas_anyhit.any_hit_fused(
+    accel, osh, dsh, RAY_TMIN, tsh, block_size=128, early_skip=True,
+    sub_skip=True, exact_cull=16, **ikw))
+shadow_case("fused_b128_skip_sub_exact24", lambda: pallas_anyhit.any_hit_fused(
+    accel, osh, dsh, RAY_TMIN, tsh, block_size=128, early_skip=True,
+    sub_skip=True, exact_cull=24, **ikw))
+shadow_case(
+    "fused_b128_skip_sub_exact16_nosort", lambda: pallas_anyhit.any_hit_fused(
+        accel, osh, dsh, RAY_TMIN, tsh, block_size=128, early_skip=True,
+        sub_skip=True, exact_cull=16, sort=False, **ikw))
 if not smoke:
     shadow_case("fused_b256", lambda: pallas_anyhit.any_hit_fused(
         accel, osh, dsh, RAY_TMIN, tsh, block_size=256))
@@ -349,6 +363,20 @@ if "--no-e2e" not in sys.argv and not smoke:
                         closest_eng=dict(engine="cascade_fused"))
             emit(probe="e2e_same_image_combo_cascade",
                  identical=bool(np.array_equal(img_a, img_j)))
+            # round-4 exact-union shadow cull, alone and in the full combo
+            img_k = e2e("shadow_fused_exact",
+                        dict(engine="packets_fused", early_skip=True,
+                             sub_skip=True, exact_cull=16),
+                        closest_kw=ckw_prod)
+            emit(probe="e2e_same_image_shadow_exact",
+                 identical=bool(np.array_equal(img_a, img_k)))
+            img_l = e2e("combo_cascade_exact",
+                        dict(engine="packets_fused", early_skip=True,
+                             sub_skip=True, exact_cull=16),
+                        closest_kw=ckw_prod,
+                        closest_eng=dict(engine="cascade_fused"))
+            emit(probe="e2e_same_image_combo_cascade_exact",
+                 identical=bool(np.array_equal(img_a, img_l)))
         finally:
             wavefront.CTILES_CLOSEST_KW = ckw_prod
             wavefront.HYBRID_CLOSEST_KW = dict(engine="ctiles")

@@ -657,6 +657,71 @@ class TestCtilesTraversal:
         self._check(tris, accel, o, jnp.asarray(d))
 
 
+class TestExactBlockCandidates:
+    """traverse._exact_block_candidates (round-4 shadow-cull lever): the
+    per-ray-exact 2-level OR-union must cover every cluster any live lane
+    can hit (coverage == exactness), equal the flat per-ray union when the
+    super shortlist fits, and fall back to the conservative list on
+    shortlist overflow."""
+
+    def _waves(self, rng, n=512, b=64):
+        o, d = random_rays(rng, n)
+        tm = rng.uniform(0.5, 20.0, n).astype(np.float32)
+        tm[::5] = -1.0                       # mixed dead lanes
+        return (o.reshape(-1, b, 3), d.reshape(-1, b, 3),
+                jnp.asarray(tm).reshape(-1, b))
+
+    def test_matches_flat_perray_union(self, rng):
+        from path_tracer_ai_tpu.accel.ctiles import _ray_masks
+        from path_tracer_ai_tpu.accel.traverse import (
+            _exact_block_candidates)
+
+        tris = random_soup(rng, 500)
+        # 63 clusters, super_size 4 -> last super partially filled, so the
+        # inverted padding-box hazard is in play.
+        accel = build_clusters(tris, cluster_size=8, super_size=4)
+        assert accel.num_clusters % accel.super_size != 0
+        o_blk, d_blk, tm_blk = self._waves(rng)
+        cand_true, n_true = _ray_masks(accel, o_blk, d_blk, tm_blk, 1e-3,
+                                       row_chunk=8)
+        order, n_cand = _exact_block_candidates(
+            accel, o_blk, d_blk, tm_blk, 1e-3, ksup=accel.num_supers,
+            row_chunk=4)
+        np.testing.assert_array_equal(np.asarray(n_cand),
+                                      np.asarray(n_true))
+        cand_true = np.asarray(cand_true)
+        order = np.asarray(order)
+        for i in range(order.shape[0]):
+            got = set(order[i, : int(n_cand[i])].tolist())
+            assert got == set(np.flatnonzero(cand_true[i]).tolist())
+
+    def test_overflow_falls_back_conservative(self, rng):
+        from path_tracer_ai_tpu.accel.ctiles import _ray_masks
+        from path_tracer_ai_tpu.accel.traverse import (
+            _block_candidates, _exact_block_candidates)
+
+        tris = random_soup(rng, 600, spread=2.0)
+        accel = build_clusters(tris, cluster_size=8, super_size=4)
+        o_blk, d_blk, tm_blk = self._waves(rng)
+        order, n_cand = _exact_block_candidates(
+            accel, o_blk, d_blk, tm_blk, 1e-3, ksup=1, row_chunk=4)
+        order_c, n_c, _e = _block_candidates(accel, o_blk, d_blk, tm_blk)
+        cand_true, _ = _ray_masks(accel, o_blk, d_blk, tm_blk, 1e-3,
+                                  row_chunk=8)
+        order, n_cand = np.asarray(order), np.asarray(n_cand)
+        order_c, n_c = np.asarray(order_c), np.asarray(n_c)
+        cand_true = np.asarray(cand_true)
+        overflowed = 0
+        for i in range(order.shape[0]):
+            got = set(order[i, : n_cand[i]].tolist())
+            # coverage: never excludes a reachable cluster
+            assert set(np.flatnonzero(cand_true[i]).tolist()) <= got
+            if n_cand[i] == n_c[i] and n_cand[i] > 0:
+                overflowed += 1
+                assert got == set(order_c[i, : n_c[i]].tolist())
+        assert overflowed > 0   # ksup=1 must actually exercise the fallback
+
+
 class TestKslotsTraversal:
     """Per-ray K-slot traversal (accel.kslots): exact vs brute force."""
 

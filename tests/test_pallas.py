@@ -222,6 +222,14 @@ class TestAnyHitFused:
         fbe = any_hit_fused(accel, o, d, 1e-3, t_max, interpret=True,
                             sub_skip=True, early_skip=True)
         np.testing.assert_array_equal(np.asarray(fbe), np.asarray(ba))
+        # per-ray-exact 2-level cull (round-4 lever): exact either way, so
+        # occlusion is identical; ksup=1 forces the overflow fallback to
+        # the conservative list on most blocks
+        for ksup in (1, 16):
+            fe = any_hit_fused(accel, o, d, 1e-3, t_max, interpret=True,
+                               exact_cull=ksup, early_skip=True,
+                               sub_skip=True)
+            np.testing.assert_array_equal(np.asarray(fe), np.asarray(ba))
         if o.shape[0] % 64 == 0:
             pa = any_hit_packets(accel, o, d, 1e-3, tmax_arr,
                                  block_size=64, group_size=2)
@@ -409,9 +417,20 @@ def test_wavefront_render_combo_cascade_interpret(rng):
         img = wavefront.render(scene, default_camera(), s,
                                wave_size=1 << 11, block_size=64,
                                backend="hybrid")
+        # combo_cascade_exact (round-4 candidate): the exact-union shadow
+        # cull changes WHICH clusters are swept but not the occlusion
+        # booleans, so the image must match the combo render bitwise.
+        wavefront.HYBRID_OCCLUDE_KW = dict(
+            engine="packets_fused", early_skip=True, sub_skip=True,
+            exact_cull=16, interpret=True)
+        wavefront.clear_executable_caches()
+        img_x = wavefront.render(scene, default_camera(), s,
+                                 wave_size=1 << 11, block_size=64,
+                                 backend="hybrid")
     finally:
         wavefront.HYBRID_OCCLUDE_KW = occ0
         wavefront.HYBRID_CLOSEST_KW = cl0
         wavefront.clear_executable_caches()
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
                                atol=5e-5)
+    np.testing.assert_array_equal(np.asarray(img_x), np.asarray(img))

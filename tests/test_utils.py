@@ -218,7 +218,8 @@ class TestAdoptionR4:
                 for k, v in e2e.items()]
         # all wave-level rows exact, all images identical by default
         for eng in ("xla_b64_g2_nosort", "fused_b128", "fused_b128_skip",
-                    "fused_b128_skip_nosort", "fused_b128_skip_sub"):
+                    "fused_b128_skip_nosort", "fused_b128_skip_sub",
+                    "fused_b128_skip_sub_exact16"):
             rows.append(dict(probe="shadow7", engine=eng, mismatch=0))
         rows.append(dict(probe="closest_sub", engine="pallas_sub",
                          mismatch_t=0, mismatch_tri=0))
@@ -231,7 +232,9 @@ class TestAdoptionR4:
                      "e2e_same_image_shadow_sub",
                      "e2e_same_image_combo_sub",
                      "e2e_same_image_closest_cascade",
-                     "e2e_same_image_combo_cascade"):
+                     "e2e_same_image_combo_cascade",
+                     "e2e_same_image_shadow_exact",
+                     "e2e_same_image_combo_cascade_exact"):
             rows.append(dict(probe=flag, identical=True))
         return rows
 
@@ -242,6 +245,24 @@ class TestAdoptionR4:
         best, cands = mod.decide(rows)
         assert best[1] == "combo_cascade" and best[0] == 4.5
         assert best[2]["closest_eng"] == dict(engine="cascade_fused")
+
+    def test_exact_cull_candidate(self):
+        mod = self._mod()
+        rows = self._rows(shadow_packets_g2=3.0, combo_cascade=4.5,
+                          combo_cascade_exact=5.1)
+        best, _ = mod.decide(rows)
+        assert best[1] == "combo_cascade_exact"
+        assert best[2]["occ"]["exact_cull"] == 16
+        # its wave gate is the exact16 row, not the plain sub row
+        for r in rows:
+            if (r.get("probe") == "shadow7"
+                    and r.get("engine") == "fused_b128_skip_sub_exact16"):
+                r["mismatch"] = 3
+        best, cands = mod.decide(rows)
+        assert best[1] == "combo_cascade"
+        by = {c["config"]: c for c in cands}
+        assert not by["combo_cascade_exact"]["eligible"]
+        assert not by["shadow_fused_exact"]["eligible"]
 
     def test_image_mismatch_disqualifies(self):
         mod = self._mod()
