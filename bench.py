@@ -300,7 +300,8 @@ def main():
                 accel, o, d, RAY_TMIN, tm_sh,
                 block_size=okw.get("block_size", 128),
                 early_skip=okw.get("early_skip", False),
-                sub_skip=okw.get("sub_skip", False))
+                sub_skip=okw.get("sub_skip", False),
+                exact_cull=okw.get("exact_cull", 0))
             jax.block_until_ready((ax, af))
             anyhit_exact = bool(np.array_equal(np.asarray(ax),
                                                np.asarray(af)))

@@ -292,7 +292,7 @@ def any_hit_fused(
     tmax_blk = t_max.reshape(nb, block_size)
 
     if exact_cull:
-        order, n_cand = traverse._exact_block_candidates(
+        order, n_cand, _entry = traverse._exact_block_candidates(
             accel, o_blk, d_blk, tmax_blk, t_min, ksup=exact_cull
         )
     else:

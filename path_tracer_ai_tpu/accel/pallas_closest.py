@@ -179,7 +179,7 @@ def _next_pow2(x: int) -> int:
     jax.jit,
     static_argnames=(
         "block_size", "sort_mode", "interpret", "sub_skip", "kernel_chunk",
-        "sort",
+        "sort", "exact_cull",
     ),
 )
 def closest_hit_fused(
@@ -194,12 +194,20 @@ def closest_hit_fused(
     sub_skip: bool = True,
     kernel_chunk: int = 8192,
     sort: bool = True,
+    exact_cull: int = 0,
 ) -> PacketHit:
     """Closest hit over a wave via the fused Pallas cascade.
 
     Exact per ray (tests compare against brute force); accepts any wave
     size (pads to a power-of-two block count with dead lanes). Runs on
-    the BASE accel — no dual-accel closest build needed."""
+    the BASE accel — no dual-accel closest build needed.
+
+    exact_cull=K (round-4 lever): per-ray-exact 2-level OR-union
+    candidates instead of the conservative interval ones — 1.8x fewer
+    cluster-pack DMAs on primary waves, 4.7x at bounce-1
+    (probe_r4_exact_closest, b128 octorig, full scale). Candidates stay
+    conservative-entry-ordered, so the front-to-back gate and early
+    t-shrink are preserved; results are exact either way."""
     n0 = origins.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n0,))
 
@@ -227,9 +235,14 @@ def closest_hit_fused(
     d_blk = directions.reshape(nb, block_size, 3)
     tmax_blk = t_max.reshape(nb, block_size)
 
-    order, n_cand, entry_sorted = traverse._block_candidates(
-        accel, o_blk, d_blk, tmax_blk
-    )
+    if exact_cull:
+        order, n_cand, entry_sorted = traverse._exact_block_candidates(
+            accel, o_blk, d_blk, tmax_blk, t_min, ksup=exact_cull
+        )
+    else:
+        order, n_cand, entry_sorted = traverse._block_candidates(
+            accel, o_blk, d_blk, tmax_blk
+        )
     g = GROUP
     c = accel.num_clusters
     dummy = jnp.int32(c)

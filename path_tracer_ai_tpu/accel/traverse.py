@@ -224,8 +224,12 @@ def _exact_block_candidates(accel, o_blk, d_blk, tm_blk, t_min,
     Blocks whose per-block super union exceeds `ksup` fall back to the
     conservative candidate list (over-inclusion is exact; measured p99
     super count is ~20-24 of 41 at b128, so the tail is small). Returns
-    (order [nb, C] candidate ids ascending-id-first, n_cand [nb]). Dead
-    lanes (t_max < 0) contribute nothing (hi0 = -inf fails every slab).
+    (order [nb, C], n_cand [nb], entry_sorted [nb, C]) — the same
+    interface and conservative-entry ordering as `_block_candidates`
+    (exact ⊆ conservative, so every exact candidate has a finite
+    conservative entry; the closest cascade's front-to-back gate and
+    early t-shrink keep working). Dead lanes (t_max < 0) contribute
+    nothing (hi0 = -inf fails every slab).
 
     The slab uses the sign-select near/far form, so the inverted padding
     boxes in the child table (clusters.py builds min=+3e37/max=-3e37 for
@@ -241,10 +245,17 @@ def _exact_block_candidates(accel, o_blk, d_blk, tm_blk, t_min,
     kx = min(ksup, cs)
     kchild = kx * ss
 
-    # Conservative list: the overflow fallback AND the uniform [nb, C]
-    # return shape (exact entries are padded into it below).
-    order_cons, n_cons, _entry = _block_candidates(accel, o_blk, d_blk,
-                                                   tm_blk)
+    # Conservative list: the overflow fallback, the uniform [nb, C]
+    # return shape, AND the entry values that order the exact candidates.
+    lb, ub = _block_interval_bounds(accel, o_blk, d_blk,
+                                    live=tm_blk >= 0.0)
+    tmax_ub = jnp.max(tm_blk, axis=1)
+    inf = jnp.float32(jnp.inf)
+    cand_cons = (lb <= ub) & (ub >= 0.0) & (lb <= tmax_ub[:, None])
+    entry_all = jnp.where(cand_cons, jnp.maximum(lb, 0.0), inf)
+    order_cons = jnp.argsort(entry_all, axis=1).astype(jnp.int32)
+    entry_cons = jnp.take_along_axis(entry_all, order_cons, axis=1)
+    n_cons = jnp.sum(cand_cons, axis=1).astype(jnp.int32)
 
     def slab_lanes(o, d, hi0, bmn, bmx):
         """Sign-select slab: rays [..., 3] vs boxes bmn/bmx.
@@ -327,16 +338,29 @@ def _exact_block_candidates(accel, o_blk, d_blk, tm_blk, t_min,
     n_ex = n_ex.reshape(-1)[:nb]
     over = n_sup.reshape(-1)[:nb] > kx
 
-    # Uniform [nb, C] order: exact ids first (padded with C) for in-cap
-    # blocks, the conservative list for overflow blocks.
+    # Order the exact candidates by conservative entry (exact ⊆
+    # conservative, so lb is finite on every real id; the sentinel C
+    # row carries +inf and sorts last).
+    entry_pad = jnp.concatenate([entry_all, jnp.full((nb, 1), inf)],
+                                axis=1)
+    entry_ids = jnp.take_along_axis(entry_pad, ids, axis=1)
+    eperm = jnp.argsort(entry_ids, axis=1).astype(jnp.int32)
+    ids = jnp.take_along_axis(ids, eperm, axis=1)
+    entry_ids = jnp.take_along_axis(entry_ids, eperm, axis=1)
+
+    # Uniform [nb, C] order: exact ids first (sentinel-padded) for
+    # in-cap blocks, the conservative list for overflow blocks.
     if kchild < c:
-        ids = jnp.pad(ids, ((0, 0), (0, c - kchild)),
-                      constant_values=c)
+        ids = jnp.pad(ids, ((0, 0), (0, c - kchild)), constant_values=c)
+        entry_ids = jnp.pad(entry_ids, ((0, 0), (0, c - kchild)),
+                            constant_values=inf)
     else:
         ids = ids[:, :c]
+        entry_ids = entry_ids[:, :c]
     order = jnp.where(over[:, None], order_cons, jnp.minimum(ids, c - 1))
+    entry_sorted = jnp.where(over[:, None], entry_cons, entry_ids)
     n_cand = jnp.where(over, n_cons, n_ex)
-    return order, n_cand
+    return order, n_cand, entry_sorted
 
 
 def _mt_sweep(o_blk, d_blk, cv0, ce1, ce2, t_min, t_max_blk):

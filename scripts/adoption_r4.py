@@ -75,6 +75,14 @@ CANDIDATES = [
      dict(occ=dict(engine="packets_fused", early_skip=True, sub_skip=True,
                    exact_cull=16),
           closest_eng=dict(engine="cascade_fused"))),
+    ("combo_exact_full",
+     [("image", "e2e_same_image_combo_exact_full"),
+      ("wave", "shadow7", "fused_b128_skip_sub_exact16", "mismatch"),
+      ("wave", "closest_cascade", "s128_sub_exact16", "mismatch_t",
+       "mismatch_tri")],
+     dict(occ=dict(engine="packets_fused", early_skip=True, sub_skip=True,
+                   exact_cull=16),
+          closest_eng=dict(engine="cascade_fused", exact_cull=16))),
 ]
 
 

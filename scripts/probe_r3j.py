@@ -255,6 +255,9 @@ def cascade_case(tag, acc, **kw):
 cascade_case("s128_sub", accel)
 cascade_case("s128_nosub", accel, sub_skip=False)
 cascade_case("s256_sub", accel_c)
+# per-ray-exact cull for the closest cascade (probe_r4_exact_closest:
+# 1.8x fewer pack DMAs primary / 4.7x bounce-1 at b128 octorig)
+cascade_case("s128_sub_exact16", accel, exact_cull=16)
 log("closest sub section complete")
 
 # ---- 2. e2e adoption A/B ------------------------------------------------
@@ -377,6 +380,14 @@ if "--no-e2e" not in sys.argv and not smoke:
                         closest_eng=dict(engine="cascade_fused"))
             emit(probe="e2e_same_image_combo_cascade_exact",
                  identical=bool(np.array_equal(img_a, img_l)))
+            img_m = e2e("combo_exact_full",
+                        dict(engine="packets_fused", early_skip=True,
+                             sub_skip=True, exact_cull=16),
+                        closest_kw=ckw_prod,
+                        closest_eng=dict(engine="cascade_fused",
+                                         exact_cull=16))
+            emit(probe="e2e_same_image_combo_exact_full",
+                 identical=bool(np.array_equal(img_a, img_m)))
         finally:
             wavefront.CTILES_CLOSEST_KW = ckw_prod
             wavefront.HYBRID_CLOSEST_KW = dict(engine="ctiles")

@@ -684,11 +684,17 @@ class TestExactBlockCandidates:
         o_blk, d_blk, tm_blk = self._waves(rng)
         cand_true, n_true = _ray_masks(accel, o_blk, d_blk, tm_blk, 1e-3,
                                        row_chunk=8)
-        order, n_cand = _exact_block_candidates(
+        order, n_cand, entry = _exact_block_candidates(
             accel, o_blk, d_blk, tm_blk, 1e-3, ksup=accel.num_supers,
             row_chunk=4)
         np.testing.assert_array_equal(np.asarray(n_cand),
                                       np.asarray(n_true))
+        # entry ordering: finite ascending within each block's candidates
+        entry = np.asarray(entry)
+        for i in range(entry.shape[0]):
+            e = entry[i, : int(n_cand[i])]
+            assert np.isfinite(e).all()
+            assert (np.diff(e) >= 0).all()
         cand_true = np.asarray(cand_true)
         order = np.asarray(order)
         for i in range(order.shape[0]):
@@ -703,7 +709,7 @@ class TestExactBlockCandidates:
         tris = random_soup(rng, 600, spread=2.0)
         accel = build_clusters(tris, cluster_size=8, super_size=4)
         o_blk, d_blk, tm_blk = self._waves(rng)
-        order, n_cand = _exact_block_candidates(
+        order, n_cand, _entry = _exact_block_candidates(
             accel, o_blk, d_blk, tm_blk, 1e-3, ksup=1, row_chunk=4)
         order_c, n_c, _e = _block_candidates(accel, o_blk, d_blk, tm_blk)
         cand_true, _ = _ray_masks(accel, o_blk, d_blk, tm_blk, 1e-3,

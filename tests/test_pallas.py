@@ -289,7 +289,11 @@ class TestClosestFused:
                                       np.asarray(bh.tri)[m])
         for kw in (dict(sub_skip=False), dict(sort=False),
                    dict(kernel_chunk=8),
-                   dict(sub_skip=False, sort=False)):
+                   dict(sub_skip=False, sort=False),
+                   # per-ray-exact cull: smaller candidate set, same
+                   # per-cluster kernel arithmetic -> bitwise-equal (t,
+                   # tri); ksup=1 forces the conservative fallback
+                   dict(exact_cull=16), dict(exact_cull=1)):
             fv = closest_hit_fused(accel, o, d, 1e-3, t_max,
                                    interpret=True, **kw)
             np.testing.assert_array_equal(np.asarray(fv.t),

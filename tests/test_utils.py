@@ -225,6 +225,8 @@ class TestAdoptionR4:
                          mismatch_t=0, mismatch_tri=0))
         rows.append(dict(probe="closest_cascade", engine="s128_sub",
                          mismatch_t=0, mismatch_tri=0))
+        rows.append(dict(probe="closest_cascade", engine="s128_sub_exact16",
+                         mismatch_t=0, mismatch_tri=0))
         for flag in ("e2e_same_image_xla_nosort", "e2e_same_image",
                      "e2e_same_image_skip", "e2e_same_image_nosort",
                      "e2e_same_image_nosort_b0",
@@ -234,7 +236,8 @@ class TestAdoptionR4:
                      "e2e_same_image_closest_cascade",
                      "e2e_same_image_combo_cascade",
                      "e2e_same_image_shadow_exact",
-                     "e2e_same_image_combo_cascade_exact"):
+                     "e2e_same_image_combo_cascade_exact",
+                     "e2e_same_image_combo_exact_full"):
             rows.append(dict(probe=flag, identical=True))
         return rows
 
@@ -263,6 +266,22 @@ class TestAdoptionR4:
         by = {c["config"]: c for c in cands}
         assert not by["combo_cascade_exact"]["eligible"]
         assert not by["shadow_fused_exact"]["eligible"]
+
+    def test_exact_full_combo_gates_on_closest_exact_row(self):
+        mod = self._mod()
+        rows = self._rows(shadow_packets_g2=3.0, combo_exact_full=5.5)
+        best, _ = mod.decide(rows)
+        assert best[1] == "combo_exact_full"
+        assert best[2]["closest_eng"] == dict(engine="cascade_fused",
+                                              exact_cull=16)
+        for r in rows:
+            if (r.get("probe") == "closest_cascade"
+                    and r.get("engine") == "s128_sub_exact16"):
+                r["mismatch_tri"] = 2
+        best, cands = mod.decide(rows)
+        assert best[1] == "shadow_packets_g2"
+        by = {c["config"]: c for c in cands}
+        assert not by["combo_exact_full"]["eligible"]
 
     def test_image_mismatch_disqualifies(self):
         mod = self._mod()
