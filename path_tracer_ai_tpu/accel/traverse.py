@@ -326,10 +326,10 @@ def _exact_block_candidates(accel, o_blk, d_blk, tm_blk, t_min,
         cand_k &= jnp.repeat(slot_ok, ss, axis=1)
         cids = (sup_ids[:, :, None] * ss + child[None, None, :]).reshape(
             -1, kchild)
-        # sorted ascending; non-candidates (and child ids past C) sink to
-        # the sentinel C, which the caller's n_cand guard never reads
+        # non-candidates (and child ids past C) sink to the sentinel C;
+        # the entry argsort below orders the real ids (sentinels carry
+        # +inf entries and sort last)
         ids = jnp.where(cand_k & (cids < c), cids, jnp.int32(c))
-        ids = jnp.sort(ids, axis=1)
         n_ex = jnp.sum(ids < c, axis=1).astype(jnp.int32)
         return ids, n_ex, n_sup
 
@@ -838,7 +838,8 @@ def closest_hit_packets(
 
 
 @partial(jax.jit,
-         static_argnames=("block_size", "sort", "group_size", "sort_mode"))
+         static_argnames=("block_size", "sort", "group_size", "sort_mode",
+                          "exact_cull"))
 def any_hit_packets(
     accel: ClusterAccel,
     origins: jnp.ndarray,
@@ -849,8 +850,15 @@ def any_hit_packets(
     sort: bool = True,
     group_size: int = 8,
     sort_mode: str = "dir",
+    exact_cull: int = 0,
 ) -> jnp.ndarray:
-    """Occlusion query over a wave; early-exits once every lane is resolved."""
+    """Occlusion query over a wave; early-exits once every lane is resolved.
+
+    exact_cull=K swaps the conservative interval cull for the per-ray-exact
+    2-level OR-union (`_exact_block_candidates`, super shortlist cap K):
+    the cascade walks 5-10x fewer candidates per block on real shadow
+    waves (probe_r4_exact_shadow at b64/b128), cutting sweep iterations
+    and their 3-row cluster gathers. Exact either way."""
     n = origins.shape[0]
     assert n % block_size == 0, f"wave size {n} not a multiple of {block_size}"
     nb = n // block_size
@@ -871,7 +879,12 @@ def any_hit_packets(
     d_blk = directions.reshape(nb, block_size, 3)
     tmax_blk = t_max.reshape(nb, block_size)
 
-    order, n_cand, _entry = _block_candidates(accel, o_blk, d_blk, tmax_blk)
+    if exact_cull:
+        order, n_cand, _entry = _exact_block_candidates(
+            accel, o_blk, d_blk, tmax_blk, t_min, ksup=exact_cull)
+    else:
+        order, n_cand, _entry = _block_candidates(accel, o_blk, d_blk,
+                                                  tmax_blk)
     g = group_size
     c = accel.num_clusters
     c_pad = -(-c // g) * g

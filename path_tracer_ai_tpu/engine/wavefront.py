@@ -262,6 +262,7 @@ def packet_backend(
             pkw = dict(block_size=okw.get("block_size", block_size),
                        group_size=okw.get("group_size", 8),
                        sort_mode=okw.get("sort_mode", "dir"),
+                       exact_cull=okw.get("exact_cull", 0),
                        sort=okw.get("sort", True)
                        if occlude_sort is None else occlude_sort)
 

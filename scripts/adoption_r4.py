@@ -62,6 +62,10 @@ CANDIDATES = [
       ("wave", "shadow7", "fused_b128_skip_sub", "mismatch")],
      dict(occ=dict(engine="packets_fused", early_skip=True, sub_skip=True),
           closest_eng=dict(engine="cascade_fused"))),
+    ("shadow_g2_exact",
+     [("image", "e2e_same_image_g2_exact"),
+      ("wave", "shadow7", "xla_b64_g2_exact16", "mismatch")],
+     dict(occ=dict(engine="packets", group_size=2, exact_cull=16))),
     ("shadow_fused_exact",
      [("image", "e2e_same_image_shadow_exact"),
       ("wave", "shadow7", "fused_b128_skip_sub_exact16", "mismatch")],

@@ -126,6 +126,14 @@ shadow_case("xla_b64_g2_nosort", lambda: traverse.any_hit_packets(
     sort=False))
 shadow_case("xla_b128_g2", lambda: traverse.any_hit_packets(
     accel, osh, dsh, RAY_TMIN, tsh, block_size=128, group_size=2))
+# exact 2-level cull on the XLA cascade (the production path): 5-10x
+# fewer candidates -> fewer sweep iterations + cluster-row gathers
+shadow_case("xla_b64_g2_exact16", lambda: traverse.any_hit_packets(
+    accel, osh, dsh, RAY_TMIN, tsh, block_size=64, group_size=2,
+    exact_cull=16))
+shadow_case("xla_b128_g2_exact16", lambda: traverse.any_hit_packets(
+    accel, osh, dsh, RAY_TMIN, tsh, block_size=128, group_size=2,
+    exact_cull=16))
 shadow_case("xla_b128_g8", lambda: traverse.any_hit_packets(
     accel, osh, dsh, RAY_TMIN, tsh, block_size=128, group_size=8))
 shadow_case("fused_b128", lambda: pallas_anyhit.any_hit_fused(
@@ -309,6 +317,10 @@ if "--no-e2e" not in sys.argv and not smoke:
                     dict(engine="packets", group_size=2, sort=False))
         emit(probe="e2e_same_image_xla_nosort",
              identical=bool(np.array_equal(img_a, img_n)))
+        img_x = e2e("shadow_g2_exact",
+                    dict(engine="packets", group_size=2, exact_cull=16))
+        emit(probe="e2e_same_image_g2_exact",
+             identical=bool(np.array_equal(img_a, img_x)))
         img_b = e2e("shadow_fused_b128", dict(engine="packets_fused"))
         emit(probe="e2e_same_image",
              identical=bool(np.array_equal(img_a, img_b)))

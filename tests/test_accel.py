@@ -727,6 +727,27 @@ class TestExactBlockCandidates:
                 assert got == set(order_c[i, : n_c[i]].tolist())
         assert overflowed > 0   # ksup=1 must actually exercise the fallback
 
+    def test_anyhit_packets_exact_cull(self, rng):
+        """The XLA packet cascade with exact_cull must bit-match brute
+        force and the conservative-cull cascade (occlusion is exact under
+        any candidate superset)."""
+        from path_tracer_ai_tpu.accel.traverse import any_hit_packets
+        from path_tracer_ai_tpu.engine.intersect import any_hit
+
+        tris = random_soup(rng, 600)
+        accel = build_clusters(tris, cluster_size=16, super_size=4)
+        o, d = random_rays(rng, 512)
+        tm = rng.uniform(0.5, 15.0, 512).astype(np.float32)
+        tm[::5] = -1.0
+        tm = jnp.asarray(tm)
+        ba = any_hit(tris, o, d, 1e-3, tm)
+        for kw in (dict(exact_cull=16), dict(exact_cull=1),
+                   dict(exact_cull=16, sort=False, group_size=2,
+                        block_size=64)):
+            pa = any_hit_packets(accel, o, d, 1e-3, tm, **kw)
+            np.testing.assert_array_equal(np.asarray(pa), np.asarray(ba),
+                                          err_msg=str(kw))
+
 
 class TestKslotsTraversal:
     """Per-ray K-slot traversal (accel.kslots): exact vs brute force."""

@@ -219,7 +219,7 @@ class TestAdoptionR4:
         # all wave-level rows exact, all images identical by default
         for eng in ("xla_b64_g2_nosort", "fused_b128", "fused_b128_skip",
                     "fused_b128_skip_nosort", "fused_b128_skip_sub",
-                    "fused_b128_skip_sub_exact16"):
+                    "fused_b128_skip_sub_exact16", "xla_b64_g2_exact16"):
             rows.append(dict(probe="shadow7", engine=eng, mismatch=0))
         rows.append(dict(probe="closest_sub", engine="pallas_sub",
                          mismatch_t=0, mismatch_tri=0))
@@ -237,7 +237,8 @@ class TestAdoptionR4:
                      "e2e_same_image_combo_cascade",
                      "e2e_same_image_shadow_exact",
                      "e2e_same_image_combo_cascade_exact",
-                     "e2e_same_image_combo_exact_full"):
+                     "e2e_same_image_combo_exact_full",
+                     "e2e_same_image_g2_exact"):
             rows.append(dict(probe=flag, identical=True))
         return rows
 
