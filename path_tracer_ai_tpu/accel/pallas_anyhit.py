@@ -292,8 +292,11 @@ def any_hit_fused(
     tmax_blk = t_max.reshape(nb, block_size)
 
     if exact_cull:
+        lv = (jnp.sum(jnp.any(tmax_blk >= 0.0, axis=1)).astype(jnp.int32)
+              if sort else None)
         order, n_cand, _entry = traverse._exact_block_candidates(
-            accel, o_blk, d_blk, tmax_blk, t_min, ksup=exact_cull
+            accel, o_blk, d_blk, tmax_blk, t_min, ksup=exact_cull,
+            live_blocks=lv
         )
     else:
         order, n_cand, _entry = traverse._block_candidates(

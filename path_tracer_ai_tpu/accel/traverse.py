@@ -203,7 +203,8 @@ def _block_candidates(accel, o_blk, d_blk, t_max_blk):
 
 
 def _exact_block_candidates(accel, o_blk, d_blk, tm_blk, t_min,
-                            ksup: int = 16, row_chunk: int = 1 << 8):
+                            ksup: int = 16, row_chunk: int = 1 << 8,
+                            live_blocks=None):
     """PER-RAY-EXACT OR-union candidate clusters per block (round-4 lever).
 
     The conservative interval cull (`_block_candidates`) over-includes by
@@ -237,6 +238,13 @@ def _exact_block_candidates(accel, o_blk, d_blk, tm_blk, t_min,
     hazard of the min/max form. No scatters (scatter-resolve measured
     2.3x worse, docs/ARCHITECTURE.md): the candidate list is built by
     sorting shortlist-child ids directly.
+
+    live_blocks: dynamic count of blocks that can contain live rays —
+    valid ONLY when rays are sorted dead-last (same contract as
+    ctiles._ray_masks). Chunks past it skip the per-lane slab stages
+    entirely; their blocks keep n_cand = 0 (dead lanes have no
+    candidates, so this is exact). Late-bounce shadow waves are mostly
+    dead and the per-lane refine is the cull's dominant cost.
     """
     nb, bs = o_blk.shape[:2]
     c = accel.num_clusters
@@ -333,7 +341,27 @@ def _exact_block_candidates(accel, o_blk, d_blk, tm_blk, t_min,
         n_ex = jnp.sum(ids < c, axis=1).astype(jnp.int32)
         return ids, n_ex, n_sup
 
-    ids, n_ex, n_sup = jax.lax.map(one_chunk, (o_ch, d_ch, t_ch))
+    if live_blocks is None:
+        ids, n_ex, n_sup = jax.lax.map(one_chunk, (o_ch, d_ch, t_ch))
+    else:
+        # Sorted dead-last waves: chunks past the live prefix keep the
+        # zero init (n_cand = 0, exact for all-dead blocks).
+        n_chunks = jnp.minimum(-(-live_blocks // row_chunk), nch)
+
+        def body(i, carry):
+            ids_a, nex_a, nsup_a = carry
+            ic, nc, sc = one_chunk((o_ch[i], d_ch[i], t_ch[i]))
+            return (
+                jax.lax.dynamic_update_slice(ids_a, ic[None], (i, 0, 0)),
+                jax.lax.dynamic_update_slice(nex_a, nc[None], (i, 0)),
+                jax.lax.dynamic_update_slice(nsup_a, sc[None], (i, 0)),
+            )
+
+        ids, n_ex, n_sup = jax.lax.fori_loop(
+            0, n_chunks, body,
+            (jnp.full((nch, row_chunk, kchild), jnp.int32(c)),
+             jnp.zeros((nch, row_chunk), jnp.int32),
+             jnp.zeros((nch, row_chunk), jnp.int32)))
     ids = ids.reshape(-1, kchild)[:nb]
     n_ex = n_ex.reshape(-1)[:nb]
     over = n_sup.reshape(-1)[:nb] > kx
@@ -880,8 +908,13 @@ def any_hit_packets(
     tmax_blk = t_max.reshape(nb, block_size)
 
     if exact_cull:
+        # Sorted waves are dead-last, so the live blocks form a prefix
+        # and the cull's per-lane stages can skip the dead tail.
+        lv = (jnp.sum(jnp.any(tmax_blk >= 0.0, axis=1)).astype(jnp.int32)
+              if sort else None)
         order, n_cand, _entry = _exact_block_candidates(
-            accel, o_blk, d_blk, tmax_blk, t_min, ksup=exact_cull)
+            accel, o_blk, d_blk, tmax_blk, t_min, ksup=exact_cull,
+            live_blocks=lv)
     else:
         order, n_cand, _entry = _block_candidates(accel, o_blk, d_blk,
                                                   tmax_blk)

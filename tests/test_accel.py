@@ -727,6 +727,36 @@ class TestExactBlockCandidates:
                 assert got == set(order_c[i, : n_c[i]].tolist())
         assert overflowed > 0   # ksup=1 must actually exercise the fallback
 
+    def test_live_blocks_prefix_matches_unbounded(self, rng):
+        """Sorted dead-last waves: bounding the per-lane stages by the
+        live-block prefix must reproduce the unbounded cull exactly
+        (dead-tail blocks keep n_cand = 0)."""
+        from path_tracer_ai_tpu.accel.traverse import (
+            _exact_block_candidates)
+
+        tris = random_soup(rng, 500)
+        accel = build_clusters(tris, cluster_size=8, super_size=4)
+        o, d = random_rays(rng, 512)
+        tm = rng.uniform(0.5, 20.0, 512).astype(np.float32)
+        tm[200:] = -1.0                      # dead tail (sorted dead-last)
+        b = 64
+        o_blk = o.reshape(-1, b, 3)
+        d_blk = d.reshape(-1, b, 3)
+        tm_blk = jnp.asarray(tm).reshape(-1, b)
+        lv = jnp.sum(jnp.any(tm_blk >= 0.0, axis=1)).astype(jnp.int32)
+        # row_chunk 2: the live prefix ends mid-array, exercising both
+        # skipped chunks and a partially-live one
+        a1 = _exact_block_candidates(accel, o_blk, d_blk, tm_blk, 1e-3,
+                                     ksup=4, row_chunk=2)
+        a2 = _exact_block_candidates(accel, o_blk, d_blk, tm_blk, 1e-3,
+                                     ksup=4, row_chunk=2, live_blocks=lv)
+        np.testing.assert_array_equal(np.asarray(a1[1]), np.asarray(a2[1]))
+        n_cand = np.asarray(a1[1])
+        for i in range(o_blk.shape[0]):
+            np.testing.assert_array_equal(
+                np.asarray(a1[0])[i, : n_cand[i]],
+                np.asarray(a2[0])[i, : n_cand[i]])
+
     def test_anyhit_packets_exact_cull(self, rng):
         """The XLA packet cascade with exact_cull must bit-match brute
         force and the conservative-cull cascade (occlusion is exact under
