@@ -245,6 +245,12 @@ def _exact_block_candidates(accel, o_blk, d_blk, tm_blk, t_min,
     entirely; their blocks keep n_cand = 0 (dead lanes have no
     candidates, so this is exact). Late-bounce shadow waves are mostly
     dead and the per-lane refine is the cull's dominant cost.
+
+    Reference role: per-ray BVH descent culling (bvh.hpp:74-116 visits
+    only child boxes the ray's slab test passes), flattened to the two
+    fixed hierarchy levels and vectorized over lanes — the packet
+    cascade's interval cull is the frustum analog; this is the per-ray
+    one at block granularity.
     """
     nb, bs = o_blk.shape[:2]
     c = accel.num_clusters

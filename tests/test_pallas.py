@@ -223,13 +223,13 @@ class TestAnyHitFused:
                             sub_skip=True, early_skip=True)
         np.testing.assert_array_equal(np.asarray(fbe), np.asarray(ba))
         # per-ray-exact 2-level cull (round-4 lever): exact either way, so
-        # occlusion is identical; ksup=1 forces the overflow fallback to
-        # the conservative list on most blocks
-        for ksup in (1, 16):
-            fe = any_hit_fused(accel, o, d, 1e-3, t_max, interpret=True,
-                               exact_cull=ksup, early_skip=True,
-                               sub_skip=True)
-            np.testing.assert_array_equal(np.asarray(fe), np.asarray(ba))
+        # occlusion is identical (the ksup=1 overflow fallback is pinned
+        # at the cull level in test_accel.TestExactBlockCandidates and by
+        # the packets-cascade test — interpret-mode kernels are slow, so
+        # only the adoption-candidate config runs here)
+        fe = any_hit_fused(accel, o, d, 1e-3, t_max, interpret=True,
+                           exact_cull=16, early_skip=True, sub_skip=True)
+        np.testing.assert_array_equal(np.asarray(fe), np.asarray(ba))
         if o.shape[0] % 64 == 0:
             pa = any_hit_packets(accel, o, d, 1e-3, tmax_arr,
                                  block_size=64, group_size=2)
@@ -291,9 +291,10 @@ class TestClosestFused:
                    dict(kernel_chunk=8),
                    dict(sub_skip=False, sort=False),
                    # per-ray-exact cull: smaller candidate set, same
-                   # per-cluster kernel arithmetic -> bitwise-equal (t,
-                   # tri); ksup=1 forces the conservative fallback
-                   dict(exact_cull=16), dict(exact_cull=1)):
+                   # per-cluster kernel arithmetic -> bitwise-equal
+                   # (t, tri); the ksup=1 overflow fallback is pinned at
+                   # the cull level in test_accel
+                   dict(exact_cull=16)):
             fv = closest_hit_fused(accel, o, d, 1e-3, t_max,
                                    interpret=True, **kw)
             np.testing.assert_array_equal(np.asarray(fv.t),
