@@ -236,3 +236,7 @@ emit(probe="shadow_wave", bounce=1, rays=int(tsh.shape[0]),
 for bs in (64, 128):
     compare(f"b1_b{bs}_dir", bs, True, 1)
     compare(f"b1_b{bs}_nosort", bs, False, 1)
+# octant+origin-led sort: exact unions care about per-lane origin
+# coherence, not frustum tightness — octorig may shrink bounce-1 super
+# shortlists below dir's (mean 7.6), enabling a smaller ksup
+compare("b1_b128_octorig", 128, True, 1, mode="octorig")
