@@ -56,6 +56,27 @@ def test_render_tiled_wrapper(scene, single_device_image):
     np.testing.assert_allclose(img, single_device_image, atol=1e-4)
 
 
+def test_sharded_exact_cull_matches_single_device(scene,
+                                                  single_device_image):
+    """The round-4 exact_cull shadow config (adoption candidate
+    shadow_g2_exact) must reproduce the production single-device image
+    under the mesh: the 2-level cull's ops (per-lane slab, top_k
+    shortlist, entry argsort, live-prefix fori_loop) all trace inside
+    shard_map, and occlusion is exact under any cull."""
+    occ0 = wavefront.HYBRID_OCCLUDE_KW
+    try:
+        wavefront.HYBRID_OCCLUDE_KW = dict(engine="packets", group_size=2,
+                                           exact_cull=4)
+        wavefront.clear_executable_caches()
+        mesh = make_mesh(4, 2)
+        img = render_sharded(scene, default_camera(), SETTINGS, mesh,
+                             block_size=64, pix_chunk=1 << 9)
+    finally:
+        wavefront.HYBRID_OCCLUDE_KW = occ0
+        wavefront.clear_executable_caches()
+    np.testing.assert_allclose(img, single_device_image, atol=1e-4)
+
+
 @pytest.mark.parametrize("shape", [(8, 1), (2, 4)])
 def test_wavefront_scheduler_matches_single_device(scene, single_device_image,
                                                    shape):
