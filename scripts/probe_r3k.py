@@ -207,4 +207,74 @@ emit(probe="overflow_pop", blocks_over_cap48=int(nover),
      rays_over=int(nover) * 8, max_union=int(maxc), p50=int(p50),
      p90=int(p90), p99=int(p99), mean=round(float(mean_u), 1))
 
+# ---- 4. exact-cull stage decomposition (round-4 lever) ------------------
+# Times the cull ALONE (post-sort, b128 shadow-like wave) so the on-chip
+# ksup choice is aimed: conservative anchor, exact at ksup 8/16/24, the
+# live-prefix bound, and the per-lane super stage in isolation. Every
+# jitted wrapper takes the accel as an ARGUMENT (the closure-inlining
+# hazard, scripts/probe_r4_bigscene.py).
+from path_tracer_ai_tpu.accel import traverse
+from path_tracer_ai_tpu.accel.kslots import _ray_slab
+
+tms_np = np.random.default_rng(3).uniform(1.0, 10.0, N).astype(np.float32)
+tms_np[np.asarray(tmb) < 0] = -1.0
+tms = jnp.asarray(tms_np)
+keys = traverse._sort_keys(accel, ob, db, tms, mode="dir")
+perm_s = jnp.argsort(keys).astype(jnp.int32)
+packed = jnp.concatenate([ob, db, tms[:, None]], axis=1)[perm_s]
+bs_x = 128
+nb_x = N // bs_x
+o_bx = packed[:, 0:3].reshape(nb_x, bs_x, 3)
+d_bx = packed[:, 3:6].reshape(nb_x, bs_x, 3)
+t_bx = packed[:, 6].reshape(nb_x, bs_x)
+lv_x = jnp.sum(jnp.any(t_bx >= 0.0, axis=1)).astype(jnp.int32)
+
+
+@jax.jit
+def cons_cull(acc, o_, d_, t_):
+    return traverse._block_candidates(acc, o_, d_, t_)
+
+
+@partial(jax.jit, static_argnames=("ksup", "bounded"))
+def exact_cull_t(acc, o_, d_, t_, lv, ksup, bounded):
+    return traverse._exact_block_candidates(
+        acc, o_, d_, t_, RAY_TMIN, ksup=ksup,
+        live_blocks=lv if bounded else None)
+
+
+@jax.jit
+def super_stage(acc, o_, d_, t_):
+    of = o_.reshape(-1, 3)
+    df = d_.reshape(-1, 3)
+    tf = t_.reshape(-1)
+    hi0 = jnp.where(tf >= 0.0, tf, -jnp.inf)
+    lo0 = jnp.full(tf.shape, jnp.float32(RAY_TMIN))
+    sup = _ray_slab(acc.sbmin, acc.sbmax, of, df, lo0, hi0)
+    return jnp.sum(jnp.any(sup.reshape(t_.shape[0], t_.shape[1], -1),
+                           axis=1), axis=1)
+
+
+try:
+    dt, cs, (_o, ncc, _e) = timeit(lambda: cons_cull(accel, o_bx, d_bx,
+                                                     t_bx))
+    emit(probe="cull_stage", stage="conservative", ms=round(dt * 1e3, 1),
+         compile_s=round(cs, 1), sum_cand=int(jnp.sum(ncc)))
+    for ksup in (8, 16, 24):
+        dt, cs, (_o, nce, _e) = timeit(lambda: exact_cull_t(
+            accel, o_bx, d_bx, t_bx, lv_x, ksup, False))
+        emit(probe="cull_stage", stage=f"exact{ksup}",
+             ms=round(dt * 1e3, 1), compile_s=round(cs, 1),
+             sum_cand=int(jnp.sum(nce)))
+    dt, cs, (_o, nce, _e) = timeit(lambda: exact_cull_t(
+        accel, o_bx, d_bx, t_bx, lv_x, 16, True))
+    emit(probe="cull_stage", stage="exact16_liveprefix",
+         ms=round(dt * 1e3, 1), compile_s=round(cs, 1),
+         sum_cand=int(jnp.sum(nce)), live_blocks=int(lv_x))
+    dt, cs, nsup = timeit(lambda: super_stage(accel, o_bx, d_bx, t_bx))
+    emit(probe="cull_stage", stage="super_only", ms=round(dt * 1e3, 1),
+         compile_s=round(cs, 1), mean_sup=round(float(jnp.mean(
+             jnp.where(nsup > 0, nsup, 0))), 1))
+except Exception as e:  # noqa: BLE001
+    emit(probe="cull_stage", error=str(e)[:300])
+
 log("probe K complete")
