@@ -158,7 +158,10 @@ shadow_case("fused_b128_skip_sub_nosort", lambda: pallas_anyhit.any_hit_fused(
 # per-ray-exact 2-level cull (round-4 lever, probe_r4_exact_shadow: 8.5x
 # fewer candidate DMAs at b128_dir bounce-0, 21.5x at bounce-1; super
 # shortlist p99 ~20 of 41 -> ksup 16 vs 24 trades refine cost vs
-# conservative-fallback tail)
+# conservative-fallback tail). INTERPRETATION CAVEAT: this synthetic
+# wave's origins are subdivision-ordered (incoherent), which inflates
+# per-block super unions vs real in-render waves (probe M vs N lesson) —
+# these rows UNDERSTATE exact_cull; the e2e rows (real waves) decide.
 shadow_case("fused_b128_skip_sub_exact16", lambda: pallas_anyhit.any_hit_fused(
     accel, osh, dsh, RAY_TMIN, tsh, block_size=128, early_skip=True,
     sub_skip=True, exact_cull=16, **ikw))
