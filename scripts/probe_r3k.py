@@ -16,6 +16,7 @@ bounce-like 2^20 wave so the fix is aimed, not guessed:
 Usage: python scripts/probe_r3k.py [--cpu]
 """
 import json
+import os
 import sys
 import time
 
@@ -24,6 +25,13 @@ sys.path.insert(0, "/root/repo")
 
 def emit(**kw):
     print(json.dumps(kw), flush=True)
+
+
+if os.path.exists("/tmp/pt_session_wrapup"):
+    # Session wrap-up requested (the driver needs the TPU soon): this
+    # probe is purely diagnostic and always runs last — skip it cleanly.
+    emit(probe="probe_k_skipped", reason="session wrap-up requested")
+    sys.exit(0)
 
 
 def log(*a):

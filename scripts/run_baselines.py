@@ -92,6 +92,14 @@ def main():
             with open(seed_path) as f:
                 results.update(json.load(f))
 
+    def wrapup():
+        """Session wrap-up control: when the round driver is about to need
+        the TPU (or the wall clock is closing), touching this file makes
+        the long tail sections (4k chunks past the next boundary, the ~1h
+        cpuref pin) stop cleanly at the next checkpointable boundary.
+        Checked at boundaries only — never interrupts a device call."""
+        return os.path.exists("/tmp/pt_session_wrapup")
+
     def record(name, **kw):
         results[name] = kw
         log(f"[{name}] {kw}")
@@ -205,7 +213,10 @@ def main():
     # this row is opt-in: run it once per round when the session budget
     # allows. Same-seed max-abs at the literal config — the strongest
     # possible reading of the "RMSE vs CPU reference" criterion.
-    if args.cpuref_pin and "cpuref-pin" not in args.skip:
+    if args.cpuref_pin and "cpuref-pin" not in args.skip and wrapup():
+        log("[cpuref-pin] SKIPPED: session wrap-up requested "
+            "(/tmp/pt_session_wrapup)")
+    elif args.cpuref_pin and "cpuref-pin" not in args.skip:
         from path_tracer_ai_tpu.config import RenderSettings
 
         cfg = benchmarks.get_configs(args.scale)["cpu-ref"]
@@ -268,45 +279,60 @@ def main():
         lineage = results.get("4k", {}).get("lineage", [])
         spp_done = int(results.get("4k", {}).get("spp_cumulative", 0))
         inc = max(1, int(args.spp_increment * args.scale))
-        spp_to = spp_done + inc
-        s4k = cfg.settings.replace(samples_per_pixel=spp_to, seed=3)
-        fp_now = ckpt_io.fingerprint(s4k, scene.triangles.count, 3)
-        if spp_done > 0 and os.path.exists(ck):
-            # Rebind the stored accumulator to this session's target spp
-            # (the fingerprint pins geometry/resolution/seed; spp grows).
-            prev_fp = ckpt_io.fingerprint(
-                s4k.replace(samples_per_pixel=spp_done),
-                scene.triangles.count, 3)
-            loaded = ckpt_io.load(ck, prev_fp)
-            if loaded is not None:
-                acc, cnt, next_s = loaded
-                ckpt_io.save(ck, acc, cnt, next_s, fp_now)
-            else:
-                log("[4k] WARNING: lineage checkpoint missing/stale; "
-                    "restarting accumulation")
-                spp_done = 0
-                lineage = []
-        stats = wavefront.RenderStats()
-        t0 = time.perf_counter()
-        img = wavefront.render(scene, camera, s4k, stats=stats,
-                               wave_size=1 << 20, block_size=64,
-                               checkpoint_path=ck, checkpoint_every=1)
-        wall = time.perf_counter() - t0
-        assert np.isfinite(img).all()
-        lineage = list(lineage) + [dict(
-            spp_from=spp_done, spp_to=spp_to, wall_s=round(wall, 1),
-            mrays=round(stats.mrays_per_s, 2),
-        )]
-        record("4k", width=3840, height=2160, spp=spp_to,
-               spp_cumulative=spp_to, spp_full_spec=1024,
-               bounces=s4k.max_bounces, timing="warm-resumed",
-               wall_s=round(wall, 1), mrays=round(stats.mrays_per_s, 2),
-               total_mrays=round(stats.total_rays / 1e6, 1),
-               lineage=lineage,
-               note="progressive accumulation across sessions via the "
-                    "persistent checkpoint (results/ckpt_4k.npz); the "
-                    "full-spec 1024spp run is the same loop continued; "
-                    "multi-device tiling validated on the virtual mesh")
+        # The increment renders in ~32-spp chunks, each recorded to the
+        # results artifact as it lands: a wrap-up request or an
+        # interruption costs at most one chunk (~20 min at r3 rates), not
+        # the whole increment. Accumulation is identical either way (the
+        # checkpoint lineage carries the exact next-sample cursor).
+        chunk_spp = 32 if args.scale >= 1.0 else inc
+        target = spp_done + inc
+        while spp_done < target:
+            if wrapup() and spp_done > 0:
+                log(f"[4k] wrap-up requested at {spp_done}/{target} spp; "
+                    "stopping at this chunk boundary")
+                break
+            spp_to = min(spp_done + chunk_spp, target)
+            s4k = cfg.settings.replace(samples_per_pixel=spp_to, seed=3)
+            fp_now = ckpt_io.fingerprint(s4k, scene.triangles.count, 3)
+            if spp_done > 0 and os.path.exists(ck):
+                # Rebind the stored accumulator to this chunk's target spp
+                # (the fingerprint pins geometry/resolution/seed; spp
+                # grows).
+                prev_fp = ckpt_io.fingerprint(
+                    s4k.replace(samples_per_pixel=spp_done),
+                    scene.triangles.count, 3)
+                loaded = ckpt_io.load(ck, prev_fp)
+                if loaded is not None:
+                    acc, cnt, next_s = loaded
+                    ckpt_io.save(ck, acc, cnt, next_s, fp_now)
+                else:
+                    log("[4k] WARNING: lineage checkpoint missing/stale; "
+                        "restarting accumulation")
+                    spp_done = 0
+                    lineage = []
+                    continue
+            stats = wavefront.RenderStats()
+            t0 = time.perf_counter()
+            img = wavefront.render(scene, camera, s4k, stats=stats,
+                                   wave_size=1 << 20, block_size=64,
+                                   checkpoint_path=ck, checkpoint_every=1)
+            wall = time.perf_counter() - t0
+            assert np.isfinite(img).all()
+            lineage = list(lineage) + [dict(
+                spp_from=spp_done, spp_to=spp_to, wall_s=round(wall, 1),
+                mrays=round(stats.mrays_per_s, 2),
+            )]
+            record("4k", width=3840, height=2160, spp=spp_to,
+                   spp_cumulative=spp_to, spp_full_spec=1024,
+                   bounces=s4k.max_bounces, timing="warm-resumed",
+                   wall_s=round(wall, 1), mrays=round(stats.mrays_per_s, 2),
+                   total_mrays=round(stats.total_rays / 1e6, 1),
+                   lineage=lineage,
+                   note="progressive accumulation across sessions via the "
+                        "persistent checkpoint (results/ckpt_4k.npz); the "
+                        "full-spec 1024spp run is the same loop continued; "
+                        "multi-device tiling validated on the virtual mesh")
+            spp_done = spp_to
 
     # ---- write artifacts ----------------------------------------------------
     os.makedirs("/root/repo/results", exist_ok=True)
