@@ -16,6 +16,10 @@ OCC_PROD = dict(engine="packets", group_size=2)
 #                                                 all counters zero
 CANDIDATES = [
     ("shadow_packets_g2", [], dict()),
+    ("shadow_packets_b128_g2",
+     [("image", "e2e_same_image_b128_g2"),
+      ("wave", "shadow7", "xla_b128_g2", "mismatch")],
+     dict(occ=dict(engine="packets", group_size=2, block_size=128))),
     ("shadow_packets_g2_nosort",
      [("image", "e2e_same_image_xla_nosort"),
       ("wave", "shadow7", "xla_b64_g2_nosort", "mismatch")],

@@ -313,6 +313,14 @@ if "--no-e2e" not in sys.argv and not smoke:
     try:
         img_a = e2e("shadow_packets_g2", dict(engine="packets",
                                               group_size=2))
+        # round-4 session 50: xla_b128_g2 beat the b64 production wave row
+        # 7.38 vs 7.17 Mrays (same-session, mismatch 0) — the e2e A/B it
+        # needs for adoption (wave rows alone never adopt: the block-size
+        # handicap on REAL waves is 1.54x, probe N).
+        img_p = e2e("shadow_packets_b128_g2",
+                    dict(engine="packets", group_size=2, block_size=128))
+        emit(probe="e2e_same_image_b128_g2",
+             identical=bool(np.array_equal(img_a, img_p)))
         # probe N (CPU): at b64 the real wave's pixel order equals the
         # dir sort in candidate volume — nosort drops ~75ms/wave of
         # sort+unsort row movement for free if this holds e2e

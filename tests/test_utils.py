@@ -219,7 +219,8 @@ class TestAdoptionR4:
         # all wave-level rows exact, all images identical by default
         for eng in ("xla_b64_g2_nosort", "fused_b128", "fused_b128_skip",
                     "fused_b128_skip_nosort", "fused_b128_skip_sub",
-                    "fused_b128_skip_sub_exact16", "xla_b64_g2_exact16"):
+                    "fused_b128_skip_sub_exact16", "xla_b64_g2_exact16",
+                    "xla_b128_g2"):
             rows.append(dict(probe="shadow7", engine=eng, mismatch=0))
         rows.append(dict(probe="closest_sub", engine="pallas_sub",
                          mismatch_t=0, mismatch_tri=0))
@@ -238,9 +239,25 @@ class TestAdoptionR4:
                      "e2e_same_image_shadow_exact",
                      "e2e_same_image_combo_cascade_exact",
                      "e2e_same_image_combo_exact_full",
-                     "e2e_same_image_g2_exact"):
+                     "e2e_same_image_g2_exact",
+                     "e2e_same_image_b128_g2"):
             rows.append(dict(probe=flag, identical=True))
         return rows
+
+    def test_b128_shadow_candidate(self):
+        mod = self._mod()
+        rows = self._rows(shadow_packets_g2=3.28,
+                          shadow_packets_b128_g2=3.4)
+        best, _ = mod.decide(rows)
+        assert best[1] == "shadow_packets_b128_g2"
+        assert best[2]["occ"] == dict(engine="packets", group_size=2,
+                                      block_size=128)
+        for r in rows:
+            if (r.get("probe") == "shadow7"
+                    and r.get("engine") == "xla_b128_g2"):
+                r["mismatch"] = 1
+        best, _ = mod.decide(rows)
+        assert best[1] == "shadow_packets_g2"
 
     def test_argmax_wins(self):
         mod = self._mod()
