@@ -38,7 +38,7 @@ _OUTAGE_MARKERS = (
 )
 
 
-_SESSION_MARKERS = (b"session_r4.py", b"session_r3jk.py")
+_SESSION_MARKERS = (b"session_r5.py", b"session_r4.py", b"session_r3jk.py")
 
 
 def _session_client_running(markers=_SESSION_MARKERS) -> bool:
@@ -65,6 +65,36 @@ def _session_client_running(markers=_SESSION_MARKERS) -> bool:
     except Exception:  # noqa: BLE001 - detection is best-effort
         pass
     return False
+
+
+ADOPTED_PATH = "/root/repo/results/adopted_r5.json"
+
+
+def apply_adoption(wavefront, path=None):
+    """Mutate `wavefront`'s tuning globals from an adoption artifact and
+    return the parsed artifact (None if no artifact exists). Promotion
+    invariant (tested in tests/test_utils.py): applying an artifact that
+    encodes the committed defaults must be an exact no-op, so promoting a
+    session's winners into wavefront.py cannot drift from what the session
+    measured. Callers that already rendered must clear_executable_caches()
+    — the globals are read at trace time and are not part of any jit key."""
+    path = path or ADOPTED_PATH
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        ad = json.load(f)
+    wavefront.HYBRID_OCCLUDE_KW = ad.get("occ", wavefront.HYBRID_OCCLUDE_KW)
+    wavefront.CTILES_CLOSEST_KW = ad.get(
+        "closest_kw", wavefront.CTILES_CLOSEST_KW)
+    wavefront.HYBRID_CLOSEST_KW = ad.get(
+        "closest_eng", wavefront.HYBRID_CLOSEST_KW)
+    wavefront.SHADOW_NOSORT_BOUNCE0 = bool(
+        ad.get("nosort_b0", wavefront.SHADOW_NOSORT_BOUNCE0))
+    wavefront.CLOSEST_NOSORT_BOUNCE0 = bool(
+        ad.get("nosort_b0", wavefront.CLOSEST_NOSORT_BOUNCE0))
+    wavefront.HYBRID_CLOSEST_CLUSTER_SIZE = ad.get(
+        "hybrid_closest_cluster_size", wavefront.HYBRID_CLOSEST_CLUSTER_SIZE)
+    return ad
 
 
 def _supervise(argv) -> int:
@@ -95,8 +125,16 @@ def _supervise(argv) -> int:
                 f.write(str(os.getpid()))
         except OSError:
             pass
+        # 25 min default (round-5 fix): sessions now checkpoint-and-exit
+        # promptly when they see the stop-file, so a long wait is never
+        # needed — and the round-4 6h default starved the driver bench
+        # (BENCH_r04.json rc=124) by waiting out a 3-4h session inside a
+        # ~50-min driver window. If a legacy session ignores the stop-file,
+        # giving up after 25 min and failing fast beats a silent rc=124
+        # (the longest non-interruptible session unit is the ~23-min cpuref
+        # oracle pin; checkpointable 4K chunks are ~19 min).
         session_wait = time.monotonic() + float(
-            os.environ.get("PT_BENCH_SESSION_WAIT_S", 6 * 3600))
+            os.environ.get("PT_BENCH_SESSION_WAIT_S", 25 * 60))
         poll_s = float(os.environ.get("PT_BENCH_SESSION_POLL_S", 60))
         waited = False
         while _session_client_running() and time.monotonic() < session_wait:
@@ -105,11 +143,23 @@ def _supervise(argv) -> int:
                     "running; waiting for it (one client at a time)")
                 waited = True
             time.sleep(poll_s)
+        if _session_client_running():
+            # NEVER fall through to a second concurrent TPU client (two at
+            # once wedges the tunnel for 10-45+ min, CLAUDE.md): report and
+            # fail fast instead.
+            log("[bench supervisor] session client still alive after the "
+                "wait window; refusing to start a second TPU client")
+            return 1
+        # Unconditional inter-client gap: another client (a session, or the
+        # driver's __graft_entry__ check) may have exited moments before the
+        # first poll, and the tunnel sometimes wedges when a new client
+        # starts right after another exits (CLAUDE.md: >=3 min between
+        # clients). The gap cannot be keyed on having observed a client.
+        gap_s = float(os.environ.get("PT_BENCH_CLIENT_GAP_S", 180))
+        log(f"[bench supervisor] {gap_s:.0f}s inter-client gap before "
+            "starting the TPU client")
+        time.sleep(gap_s)
         if waited:
-            gap_s = float(os.environ.get("PT_BENCH_CLIENT_GAP_S", 180))
-            log("[bench supervisor] session client gone; proceeding after "
-                f"a {gap_s:.0f}s inter-client gap")
-            time.sleep(gap_s)
             deadline = time.monotonic() + float(
                 os.environ.get("PT_BENCH_DEADLINE_S", 45 * 60))
 
@@ -208,25 +258,12 @@ def main():
     from path_tracer_ai_tpu.engine import wavefront
     from path_tracer_ai_tpu.scene.camera import default_camera
 
-    # Apply the adoption artifact (written by scripts/session_r4.py when
-    # an unattended on-chip A/B session picked new engine toggles that are
-    # not yet promoted to committed defaults). The exactness pins below
-    # read the applied module state, so adopted fused paths stay pinned.
-    adopted_path = "/root/repo/results/adopted_r4.json"
-    if os.path.exists(adopted_path):
-        with open(adopted_path) as f:
-            ad = json.load(f)
-        wavefront.HYBRID_OCCLUDE_KW = ad.get(
-            "occ", wavefront.HYBRID_OCCLUDE_KW)
-        wavefront.CTILES_CLOSEST_KW = ad.get(
-            "closest_kw", wavefront.CTILES_CLOSEST_KW)
-        wavefront.HYBRID_CLOSEST_KW = ad.get(
-            "closest_eng", wavefront.HYBRID_CLOSEST_KW)
-        wavefront.SHADOW_NOSORT_BOUNCE0 = bool(ad.get("nosort_b0", False))
-        wavefront.CLOSEST_NOSORT_BOUNCE0 = bool(ad.get("nosort_b0", False))
-        wavefront.HYBRID_CLOSEST_CLUSTER_SIZE = ad.get(
-            "hybrid_closest_cluster_size",
-            wavefront.HYBRID_CLOSEST_CLUSTER_SIZE)
+    # Apply the adoption artifact, if one exists (written by a measurement
+    # session when an unattended on-chip A/B picked new engine toggles not
+    # yet promoted to committed defaults — round-4 winners were promoted
+    # into wavefront.py in round 5 and that artifact deleted, per policy).
+    ad = apply_adoption(wavefront)
+    if ad is not None:
         log(f"applied adoption artifact: {ad.get('config')} "
             f"(session-measured {ad.get('mrays')} Mrays/s)")
 

@@ -621,7 +621,7 @@ def _run(
     block, cap, tile_blocks, row_chunk, tile_chunk,
     sort, sort_mode, fallback_block, fallback_compact, want_tri,
     use_pallas=False, interpret=False, levels=0, super_cap=48,
-    sub_skip=False,
+    sub_skip=False, fallback_sorted=False,
 ):
     n = origins.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -663,9 +663,29 @@ def _run(
         cap, tile_blocks, tile_chunk, want_tri,
         use_pallas=use_pallas, interpret=interpret, sub_skip=sub_skip,
     )
+    over_blk = pairs["overflow"][:, None] & jnp.ones((nb, block), bool)
+    if fallback_sorted:
+        # Overflow completion in the SORTED domain (round-5 lever): run the
+        # fallback on the already-sorted wave and merge BEFORE the unsort,
+        # so the packed unsort scatter carries one fewer column (t,tri vs
+        # t,tri,over — probe K measured the 3-col unsort at 50.8ms/2^20
+        # wave) and the overflow select runs pre-slice. Bit-exact: the
+        # fallback's per-(ray, tri) MT arithmetic and the lexicographic
+        # (t, tri) resolve are independent of ray order/block composition.
+        over_s = over_blk.reshape(-1)
+        fb = _overflow_fallback(
+            accel, o_blk.reshape(npad, 3), d_blk.reshape(npad, 3),
+            t_min, tm_blk.reshape(npad), over_s,
+            want_tri=want_tri, compact_cap=fallback_compact,
+            fallback_block=fallback_block,
+        )
+        merged = tuple(
+            jnp.where(over_s, f, r.reshape(-1))
+            for f, r in zip(fb, blk_res)
+        )
+        return _unsort(merged, perm, npad, n)
     # ONE _unsort for results + overflow (it builds the inverse
     # permutation with a [npad] scatter per call — don't pay it twice).
-    over_blk = pairs["overflow"][:, None] & jnp.ones((nb, block), bool)
     unsorted = _unsort(
         tuple(a.reshape(-1) for a in blk_res) + (over_blk.reshape(-1),),
         perm, npad, n,
@@ -688,7 +708,7 @@ def _run(
         "block", "cap", "tile_blocks", "row_chunk",
         "tile_chunk", "sort", "sort_mode", "fallback_block",
         "fallback_compact", "use_pallas", "interpret",
-        "levels", "super_cap", "sub_skip",
+        "levels", "super_cap", "sub_skip", "fallback_sorted",
     ),
 )
 def closest_hit_ctiles(
@@ -711,6 +731,7 @@ def closest_hit_ctiles(
     levels: int = 0,
     super_cap: int = 48,
     sub_skip: bool = False,
+    fallback_sorted: bool = False,
 ) -> PacketHit:
     """Closest hit via cluster-major tiles; exact for every ray."""
     best_t, best_tri = _run(
@@ -721,6 +742,7 @@ def closest_hit_ctiles(
         fallback_compact=fallback_compact, want_tri=True,
         use_pallas=use_pallas, interpret=interpret,
         levels=levels, super_cap=super_cap, sub_skip=sub_skip,
+        fallback_sorted=fallback_sorted,
     )
     hit = jnp.isfinite(best_t)
     return PacketHit(hit=hit, t=best_t, tri=jnp.where(hit, best_tri, -1))
@@ -733,7 +755,7 @@ def closest_hit_ctiles(
         "block", "cap", "tile_blocks", "row_chunk",
         "tile_chunk", "sort", "sort_mode", "fallback_block",
         "fallback_compact", "use_pallas", "interpret",
-        "levels", "super_cap", "sub_skip",
+        "levels", "super_cap", "sub_skip", "fallback_sorted",
     ),
 )
 def any_hit_ctiles(
@@ -756,6 +778,7 @@ def any_hit_ctiles(
     levels: int = 0,
     super_cap: int = 48,
     sub_skip: bool = False,
+    fallback_sorted: bool = False,
 ) -> jnp.ndarray:
     """Occlusion query via cluster-major tiles; exact for every ray."""
     (occ,) = _run(
@@ -766,5 +789,6 @@ def any_hit_ctiles(
         fallback_compact=fallback_compact, want_tri=False,
         use_pallas=use_pallas, interpret=interpret,
         levels=levels, super_cap=super_cap, sub_skip=sub_skip,
+        fallback_sorted=fallback_sorted,
     )
     return occ

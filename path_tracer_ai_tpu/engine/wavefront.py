@@ -69,13 +69,15 @@ HYBRID_OCCLUDE_KW = dict(engine="packets", group_size=2)
 # candidate-tris/ray) — the coherence sort buys nothing there and its
 # sort+unsort row movement can be skipped. Bounce >= 1 origins are
 # diffuse-scattered and MUST stay sorted (unsorted: 91.7k vs 12.4k).
-# Opt-in until the on-chip e2e A/B lands (probe J).
-SHADOW_NOSORT_BOUNCE0 = False
+# ADOPTED round 4 (session attempt 50, on-chip e2e A/B shadow_g2_nosort_b0:
+# 3.46 vs 3.28 Mrays/s production, images bit-identical).
+SHADOW_NOSORT_BOUNCE0 = True
 # Same finding for bounce-0 CLOSEST waves (measured: identical b8 union
 # populations, sum 300688 both ways at 960x540): primary rays in pixel
 # order need no octorig sort — skipping drops the prepare argsort+gather
-# and the outro unsort scatter from the primary wave.
-CLOSEST_NOSORT_BOUNCE0 = False
+# and the outro unsort scatter from the primary wave. Adopted with the
+# shadow flag (the winning r4 config toggles both; see adoption_r4 log).
+CLOSEST_NOSORT_BOUNCE0 = True
 KSLOTS_CLOSEST_KW = dict(k_supers=6, k_clusters=12)
 KSLOTS_OCCLUDE_KW = dict(k_supers=6, k_clusters=8)
 # fallback_compact SMALL: the compact overflow fallback costs its STATIC

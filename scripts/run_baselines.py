@@ -94,11 +94,17 @@ def main():
 
     def wrapup():
         """Session wrap-up control: when the round driver is about to need
-        the TPU (or the wall clock is closing), touching this file makes
+        the TPU (or the wall clock is closing), touching either file makes
         the long tail sections (4k chunks past the next boundary, the ~1h
         cpuref pin) stop cleanly at the next checkpointable boundary.
-        Checked at boundaries only — never interrupts a device call."""
-        return os.path.exists("/tmp/pt_session_wrapup")
+        Checked at boundaries only — never interrupts a device call.
+        The bench stop-file counts too (round-5 fix): the driver bench
+        writes it when it wants the chip, and its supervisor only waits
+        ~20 min — sessions must yield within that window, not be waited
+        out (BENCH_r04.json rc=124 was a session starving the driver)."""
+        return (os.path.exists("/tmp/pt_session_wrapup")
+                or os.path.exists(os.environ.get(
+                    "PT_BENCH_STOPFILE", "/tmp/pt_bench_wants_tpu")))
 
     def record(name, **kw):
         results[name] = kw
@@ -306,8 +312,15 @@ def main():
                     acc, cnt, next_s = loaded
                     ckpt_io.save(ck, acc, cnt, next_s, fp_now)
                 else:
+                    # Bound the restart to the REQUESTED increment: without
+                    # shrinking `target`, a lost checkpoint would silently
+                    # re-render the entire prior accumulation (hours at 4K)
+                    # instead of this session's chunk budget.
+                    target = inc
                     log("[4k] WARNING: lineage checkpoint missing/stale; "
-                        "restarting accumulation")
+                        f"restarting accumulation at 0/{target} spp "
+                        f"(~{(target + chunk_spp - 1) // chunk_spp} chunks "
+                        "this session; prior lineage discarded)")
                     spp_done = 0
                     lineage = []
                     continue

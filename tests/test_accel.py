@@ -594,6 +594,43 @@ class TestCtilesTraversal:
         self._check(tris, accel, o, d, t_max=jnp.asarray(tmax),
                     levels=2, super_cap=4, cap=16)
 
+    def test_fallback_sorted_matches_bitwise(self, rng):
+        """fallback_sorted=True (overflow completion merged in the sorted
+        domain before the unsort — round-5 outro lever) must be bit-identical
+        to the default wave-domain fallback, including on waves that
+        actually overflow (tight cap) and on dead lanes."""
+        from path_tracer_ai_tpu.accel.ctiles import (
+            any_hit_ctiles,
+            closest_hit_ctiles,
+        )
+
+        tris = random_soup(rng, 800, spread=2.0)
+        accel = build_clusters(tris, cluster_size=8, super_size=4)
+        o, d = random_rays(rng, 192, spread=3.0)
+        tmax = rng.uniform(0.3, 12.0, 192).astype(np.float32)
+        tmax[::5] = -1.0
+        tmax = jnp.asarray(tmax)
+        for kw in (
+            dict(cap=4),                      # heavy overflow
+            dict(cap=48),                     # no overflow (production-like)
+            dict(cap=4, sort=False),          # perm=None path
+            dict(cap=8, levels=2, super_cap=4),
+        ):
+            kw.update(row_chunk=32, tile_chunk=4)
+            h0 = closest_hit_ctiles(accel, o, d, 1e-3, tmax, **kw)
+            h1 = closest_hit_ctiles(accel, o, d, 1e-3, tmax,
+                                    fallback_sorted=True, **kw)
+            np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h1.t))
+            np.testing.assert_array_equal(np.asarray(h0.tri),
+                                          np.asarray(h1.tri))
+            a0 = any_hit_ctiles(accel, o, d, 1e-3, tmax, **kw)
+            a1 = any_hit_ctiles(accel, o, d, 1e-3, tmax,
+                                fallback_sorted=True, **kw)
+            np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+        # and exact vs brute force with the flag on
+        self._check(tris, accel, o, d, t_max=tmax, cap=4,
+                    fallback_sorted=True)
+
     def test_2level_matches_flat_bitwise(self, rng):
         """levels=2 must produce the same candidate coverage as the flat
         cull — (t, tri) outputs bit-identical on non-overflow rays."""

@@ -338,3 +338,69 @@ class TestAdoptionR4:
         best, cands = mod.decide([])
         assert best is None
         assert all(not c["eligible"] for c in cands)
+
+
+def test_adoption_artifact_roundtrip(tmp_path):
+    """Promotion invariant (round-4 verdict task 8): an adoption artifact
+    that encodes the committed wavefront defaults must apply as an exact
+    no-op, and applying any artifact then promoting its values must leave
+    the module in the state the session measured. Guards promotion drift
+    between session-measured configs and shipped defaults."""
+    import copy
+    import importlib
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    bench = importlib.import_module("bench")
+    from path_tracer_ai_tpu.engine import wavefront
+
+    tracked = (
+        "HYBRID_OCCLUDE_KW", "CTILES_CLOSEST_KW", "HYBRID_CLOSEST_KW",
+        "SHADOW_NOSORT_BOUNCE0", "CLOSEST_NOSORT_BOUNCE0",
+        "HYBRID_CLOSEST_CLUSTER_SIZE",
+    )
+    before = {k: copy.deepcopy(getattr(wavefront, k)) for k in tracked}
+    try:
+        # 1. An artifact encoding the committed defaults is a no-op.
+        ident = tmp_path / "adopted_ident.json"
+        ident.write_text(json.dumps({
+            "config": "identity",
+            "occ": before["HYBRID_OCCLUDE_KW"],
+            "closest_kw": before["CTILES_CLOSEST_KW"],
+            "closest_eng": before["HYBRID_CLOSEST_KW"],
+            "nosort_b0": before["SHADOW_NOSORT_BOUNCE0"],
+            "hybrid_closest_cluster_size":
+                before["HYBRID_CLOSEST_CLUSTER_SIZE"],
+        }))
+        ad = bench.apply_adoption(wavefront, path=str(ident))
+        assert ad is not None and ad["config"] == "identity"
+        after = {k: getattr(wavefront, k) for k in tracked}
+        assert after == before
+
+        # 2. The round-4 session's exact artifact now matches the promoted
+        # defaults (the artifact was deleted on promotion; this pins the
+        # values it contained so the promotion can't silently drift).
+        r4 = tmp_path / "adopted_r4.json"
+        r4.write_text(json.dumps({
+            "config": "shadow_g2_nosort_b0", "mrays": 3.46,
+            "occ": {"engine": "packets", "group_size": 2},
+            "closest_kw": {"cap": 48, "tile_chunk": 2048,
+                           "fallback_compact": 8192},
+            "closest_eng": {"engine": "ctiles"},
+            "nosort_b0": True,
+            "hybrid_closest_cluster_size": 256,
+        }))
+        bench.apply_adoption(wavefront, path=str(r4))
+        after_r4 = {k: getattr(wavefront, k) for k in tracked}
+        assert after_r4 == before, (
+            "committed wavefront defaults drifted from the round-4 "
+            "session-adopted winner")
+
+        # 3. Missing artifact -> None, no mutation.
+        assert bench.apply_adoption(
+            wavefront, path=str(tmp_path / "nope.json")) is None
+        assert {k: getattr(wavefront, k) for k in tracked} == before
+    finally:
+        for k, v in before.items():
+            setattr(wavefront, k, v)
