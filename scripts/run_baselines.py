@@ -1,6 +1,6 @@
 """Run the five BASELINE.json configs end-to-end; emit RESULTS.md + JSON.
 
-ONE TPU process (tunnel hazard rules). Writes results/results_r4.json and
+ONE TPU process (tunnel hazard rules). Writes results/results_r5.json and
 RESULTS.md at the repo root. All throughput rows are WARM: a same-shape
 warmup render compiles every executable first and per-config compile time
 is recorded separately (warm_s).
@@ -84,10 +84,11 @@ def main():
     # CPU smoke runs write to SEPARATE artifacts: a smoke must never
     # clobber RESULTS.md / results_r4.json with CPU-speed rows.
     prev = ("/root/repo/results/results_smoke.json" if args.cpu
-            else "/root/repo/results/results_r4.json")
+            else "/root/repo/results/results_r5.json")
     results_md = ("/root/repo/RESULTS_smoke.md" if args.cpu
                   else "/root/repo/RESULTS.md")
-    for seed_path in ("/root/repo/results/results_r3.json", prev):
+    for seed_path in ("/root/repo/results/results_r3.json",
+                      "/root/repo/results/results_r4.json", prev):
         if os.path.exists(seed_path):
             with open(seed_path) as f:
                 results.update(json.load(f))
@@ -353,10 +354,10 @@ def main():
         json.dump(results, f, indent=1)
 
     lines = [
-        "# RESULTS — BASELINE configs (round 4, v5e single chip)",
+        "# RESULTS — BASELINE configs (round 5, v5e single chip)",
         "",
         "Produced by `scripts/run_baselines.py` in one TPU session; raw",
-        "values in `results/results_r4.json`. All rows WARM (compile excluded;",
+        "values in `results/results_r5.json`. All rows WARM (compile excluded;",
         "warm_compile_s in the JSON). RMSE methodology: see the",
         "script docstring (brute-force oracle cost bounds what can be",
         "compared at full spec; three-way evidence instead).",
@@ -404,6 +405,13 @@ def main():
         lines += ["",
                   f"Cross-seed wavefront RMSE ({rr['config']}): "
                   f"{rr['rmse_pct']}% — the MC-noise level at this spp."]
+    if "rr_4k_speedup" in results:
+        rr = results["rr_4k_speedup"]
+        lines += ["",
+                  f"**Russian roulette (opt-in `--rr 3`)** on the 16-bounce "
+                  f"4K config ({rr['config']}): {rr['speedup']}x wall "
+                  f"speedup ({rr['wall_rr0_s']}s -> {rr['wall_rr3_s']}s); "
+                  "unbiasedness is CI-tested (tests/test_wavefront.py)."]
     with open(results_md, "w") as f:
         f.write("\n".join(lines) + "\n")
     log("wrote RESULTS.md + " + prev)

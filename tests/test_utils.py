@@ -404,3 +404,83 @@ def test_adoption_artifact_roundtrip(tmp_path):
     finally:
         for k, v in before.items():
             setattr(wavefront, k, v)
+
+
+class TestAdoptionR5:
+    """The round-5 lever-adoption decision (scripts/adoption_r5.py)."""
+
+    def _mod(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "adoption_r5", "/root/repo/scripts/adoption_r5.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def _rows(self, **e2e):
+        rows = [dict(probe="e2e", config=k, mrays=v)
+                for k, v in e2e.items()]
+        rows.append(dict(probe="closest_outro", engine="pallas_fbsorted",
+                         mismatch_t=0, mismatch_tri=0))
+        for flag in ("e2e_same_image_b128_g2", "e2e_same_image_fbsorted",
+                     "e2e_same_image_combo",
+                     "e2e_same_image_fbsorted_fc12"):
+            rows.append(dict(probe=flag, identical=True))
+        return rows
+
+    def test_prod_baseline_always_eligible(self):
+        mod = self._mod()
+        best, cands = mod.decide([dict(probe="e2e", config="prod_r5",
+                                       mrays=3.5)])
+        assert best[1] == "prod_r5" and best[2] == {}
+        by = {c["config"]: c for c in cands}
+        assert by["prod_r5"]["eligible"]
+        assert not by["combo_b128_fbsorted"]["eligible"]
+
+    def test_argmax_combo_wins(self):
+        mod = self._mod()
+        rows = self._rows(prod_r5=3.46, occ_b128_g2=3.55,
+                          closest_fbsorted=3.6, combo_b128_fbsorted=3.7)
+        best, _ = mod.decide(rows)
+        assert best[1] == "combo_b128_fbsorted"
+        assert best[2]["occ"]["block_size"] == 128
+        assert best[2]["closest_kw_update"] == dict(fallback_sorted=True)
+
+    def test_image_mismatch_disqualifies(self):
+        mod = self._mod()
+        rows = self._rows(prod_r5=3.46, occ_b128_g2=3.9)
+        for r in rows:
+            if r.get("probe") == "e2e_same_image_b128_g2":
+                r["identical"] = False
+        best, cands = mod.decide(rows)
+        assert best[1] == "prod_r5"
+        by = {c["config"]: c for c in cands}
+        assert not by["occ_b128_g2"]["eligible"]
+
+    def test_fbsorted_gates_on_wave_bitwise_row(self):
+        mod = self._mod()
+        rows = self._rows(prod_r5=3.46, closest_fbsorted=3.8,
+                          combo_b128_fbsorted=3.9)
+        for r in rows:
+            if (r.get("probe") == "closest_outro"
+                    and r.get("engine") == "pallas_fbsorted"):
+                r["mismatch_t"] = 5
+        best, cands = mod.decide(rows)
+        assert best[1] == "prod_r5"
+        by = {c["config"]: c for c in cands}
+        assert not by["closest_fbsorted"]["eligible"]
+        assert not by["combo_b128_fbsorted"]["eligible"]
+
+    def test_fc12_gates_on_its_own_image(self):
+        mod = self._mod()
+        rows = self._rows(prod_r5=3.46, closest_fbsorted_fc12=3.8)
+        best, _ = mod.decide(rows)
+        assert best[1] == "closest_fbsorted_fc12"
+        assert best[2]["closest_kw_update"]["fallback_compact"] == 1 << 12
+
+    def test_no_rows_no_adoption(self):
+        mod = self._mod()
+        best, cands = mod.decide([])
+        assert best is None
+        assert all(not c["eligible"] for c in cands)
