@@ -83,7 +83,13 @@ KSLOTS_OCCLUDE_KW = dict(k_supers=6, k_clusters=8)
 # fallback_compact SMALL: the compact overflow fallback costs its STATIC
 # size every wave it runs (probe J: 2^17 cost ~360ms for 19 overflow
 # blocks). cap=48 >> p99 union, so overflow populations are tiny.
-CTILES_CLOSEST_KW = dict(cap=48, tile_chunk=2048, fallback_compact=1 << 13)
+# ADOPTED round 5 (probe_r5 e2e A/B, same-session, images bit-identical):
+# fallback_sorted=True completes overflow in the SORTED domain before the
+# unsort (one fewer unsort column) and fallback_compact 4096 halves the
+# static fallback cost — closest_fbsorted_fc12 3.45 vs prod 3.39 Mrays/s
+# (plain fbsorted at fc 8192: 3.35 — the fc right-size carries the win).
+CTILES_CLOSEST_KW = dict(cap=48, tile_chunk=2048, fallback_compact=1 << 12,
+                         fallback_sorted=True)
 # Closest waves and shadow waves want DIFFERENT cluster sizes (probes
 # r3c/r3d: S=256 closest is 385 -> 303ms XLA / 256ms Pallas — halved row
 # counts beat the extra dense tests — while the packet-cascade shadow is

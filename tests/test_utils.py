@@ -378,23 +378,27 @@ def test_adoption_artifact_roundtrip(tmp_path):
         after = {k: getattr(wavefront, k) for k in tracked}
         assert after == before
 
-        # 2. The round-4 session's exact artifact now matches the promoted
-        # defaults (the artifact was deleted on promotion; this pins the
-        # values it contained so the promotion can't silently drift).
-        r4 = tmp_path / "adopted_r4.json"
-        r4.write_text(json.dumps({
-            "config": "shadow_g2_nosort_b0", "mrays": 3.46,
+        # 2. The latest session's exact adoption artifact matches the
+        # promoted defaults (the artifact was deleted on promotion; this
+        # pins the values it contained so the promotion can't silently
+        # drift). Round 5: closest_fbsorted_fc12 (3.45 Mrays/s, on-chip
+        # same-session A/B, images bit-identical) on top of round 4's
+        # shadow_g2_nosort_b0 (3.46 vs 3.28).
+        r5 = tmp_path / "adopted_r5.json"
+        r5.write_text(json.dumps({
+            "config": "closest_fbsorted_fc12", "mrays": 3.45,
             "occ": {"engine": "packets", "group_size": 2},
             "closest_kw": {"cap": 48, "tile_chunk": 2048,
-                           "fallback_compact": 8192},
+                           "fallback_compact": 4096,
+                           "fallback_sorted": True},
             "closest_eng": {"engine": "ctiles"},
             "nosort_b0": True,
             "hybrid_closest_cluster_size": 256,
         }))
-        bench.apply_adoption(wavefront, path=str(r4))
-        after_r4 = {k: getattr(wavefront, k) for k in tracked}
-        assert after_r4 == before, (
-            "committed wavefront defaults drifted from the round-4 "
+        bench.apply_adoption(wavefront, path=str(r5))
+        after_r5 = {k: getattr(wavefront, k) for k in tracked}
+        assert after_r5 == before, (
+            "committed wavefront defaults drifted from the round-5 "
             "session-adopted winner")
 
         # 3. Missing artifact -> None, no mutation.
