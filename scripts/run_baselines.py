@@ -353,14 +353,28 @@ def main():
     with open(prev, "w") as f:
         json.dump(results, f, indent=1)
 
+    write_results_md(results, results_md)
+    log("wrote " + results_md + " + " + prev)
+    print(json.dumps(results))
+
+
+def write_results_md(results, results_md):
+    """Render RESULTS.md from the results artifact.
+
+    Pure function of the JSON rows so a `--write-md-only` invocation (no
+    device access) regenerates the doc after any artifact merge — the
+    generated doc, not a hand edit, is the source of truth (r4 verdict
+    weak #4: end-of-round docs must not lag the round's own data)."""
     lines = [
         "# RESULTS — BASELINE configs (round 5, v5e single chip)",
         "",
-        "Produced by `scripts/run_baselines.py` in one TPU session; raw",
-        "values in `results/results_r5.json`. All rows WARM (compile excluded;",
-        "warm_compile_s in the JSON). RMSE methodology: see the",
-        "script docstring (brute-force oracle cost bounds what can be",
-        "compared at full spec; three-way evidence instead).",
+        "Produced by `scripts/run_baselines.py` (driven by",
+        "`scripts/session_r5.py`: probe -> adoption -> baselines) in one",
+        "TPU session; raw values in `results/results_r5.json`. All rows",
+        "WARM (compile excluded; warm_compile_s in the JSON) at the",
+        "round-5 adopted engine config. RMSE methodology: see the script",
+        "docstring (brute-force oracle cost bounds what can be compared",
+        "at full spec; three-way evidence instead).",
         "",
         "| config | spec | wall | Mrays/s | correctness evidence |",
         "|---|---|---|---|---|",
@@ -371,11 +385,22 @@ def main():
             continue
         spec = f"{r['width']}x{r['height']} @ {r['spp']}spp/{r['bounces']}b"
         ev = ""
-        if name == "cornell" and "cornell_rmse_vs_oracle" in results:
+        # Lead correctness evidence with the same-seed literal-spec pins
+        # (r4 verdict weak #6): MC noise cancels under identical RNG
+        # streams, so a ~float-summation max-abs IS the criterion, with
+        # no noise-floor argument needed.
+        if name == "cornell" and "cornell_spec_same_seed_pin" in results:
+            rr = results["cornell_spec_same_seed_pin"]
+            ev = (f"same-seed spec pin max-abs {rr['max_abs']:.2e} "
+                  f"(RMSE {rr['rmse_pct']}%)")
+        elif name == "cornell" and "cornell_rmse_vs_oracle" in results:
             rr = results["cornell_rmse_vs_oracle"]
             ev = (f"oracle RMSE {rr['rmse_pct']}% vs noise floor "
                   f"{rr.get('noise_floor_pct', '?')}% "
                   f"(at floor: {rr['passes']})")
+        elif name == "cpu-ref" and "cpuref_spec_same_seed_pin" in results:
+            rr = results["cpuref_spec_same_seed_pin"]
+            ev = f"same-seed spec pin max-abs {rr['max_abs']:.2e}"
         elif name == "4k":
             ev = (f"cumulative {r.get('spp_cumulative')}/1024 spp across "
                   f"{len(r.get('lineage', []))} sessions")
@@ -385,6 +410,16 @@ def main():
         lines.append(
             f"| {name} | {spec} | {r['wall_s']}s | {r['mrays']} | {ev} |"
         )
+    if "e2e_adopted" in results:
+        rr = results["e2e_adopted"]
+        hist = rr.get("history", {})
+        hist_s = ", ".join(f"{k}: {v}" for k, v in sorted(hist.items()))
+        lines += ["",
+                  f"**Headline e2e ({rr['spec']}):** **{rr['mrays']} "
+                  f"Mrays/s** adopted config `{rr['config']}` vs "
+                  f"production {rr['prod_mrays']} (images bitwise "
+                  f"identical: {rr['image_identical']}; history "
+                  f"{hist_s}). {rr.get('note', '')}"]
     for pin, label in (("cornell_spec_same_seed_pin", "cornell"),
                        ("cpuref_spec_same_seed_pin", "cpu-ref")):
         if pin in results:
@@ -412,11 +447,29 @@ def main():
                   f"4K config ({rr['config']}): {rr['speedup']}x wall "
                   f"speedup ({rr['wall_rr0_s']}s -> {rr['wall_rr3_s']}s); "
                   "unbiasedness is CI-tested (tests/test_wavefront.py)."]
+    if "mxu_adjudication" in results:
+        rr = results["mxu_adjudication"]
+        lines += ["",
+                  f"**MXU intersector adjudication (on-chip):** verdict "
+                  f"{rr['verdict'].upper()} — wl_vpu {rr['wl_vpu_mrays']} "
+                  f"vs wl_mxu(highest) {rr['wl_mxu_highest_mrays']} "
+                  f"Mrays/s. {rr.get('note', '')}"]
+    if "bigscene" in results:
+        rr = results["bigscene"]
+        lines += ["",
+                  f"**Big scene ({rr.get('tris', '?')} tris, "
+                  f"{rr.get('clusters', '?')} clusters):** "
+                  f"{rr.get('summary', json.dumps(rr))}"]
     with open(results_md, "w") as f:
         f.write("\n".join(lines) + "\n")
-    log("wrote RESULTS.md + " + prev)
-    print(json.dumps(results))
 
 
 if __name__ == "__main__":
-    main()
+    if "--write-md-only" in sys.argv:
+        # Regenerate RESULTS.md from the existing artifact without any
+        # device access (safe while a TPU client is alive).
+        with open("/root/repo/results/results_r5.json") as f:
+            write_results_md(json.load(f), "/root/repo/RESULTS.md")
+        log("wrote RESULTS.md (md-only)")
+    else:
+        main()
