@@ -344,7 +344,7 @@ def _block_candidates_2level(
 
 
 def _build_pairs(accel, order, n_cand, over, cap, tile_blocks, tile_chunk,
-                 tile_group=1):
+                 tile_group=1, split_head=0, split_tail_den=8):
     """Candidate tables -> cluster-major padded pair slots (flat domain).
 
     Pair p lives at flat index block*cap + k (k-th candidate of its
@@ -371,13 +371,59 @@ def _build_pairs(accel, order, n_cand, over, cap, tile_blocks, tile_chunk,
         order = jnp.pad(order, ((0, 0), (0, cap - order.shape[1])),
                         constant_values=c - 1)
 
-    # Flat pair keys: cid for live pairs, sentinel c for dead slots.
-    livek = jnp.arange(cap, dtype=jnp.int32)[None, :] < n_cand[:, None]
-    key = jnp.where(livek, order, c).reshape(-1)              # [nb*cap]
-    n_pairs = nb * cap
-    key_sorted, perm = jax.lax.sort(
-        (key, jnp.arange(n_pairs, dtype=jnp.int32)), num_keys=1
-    )
+    if split_head and split_head < cap:
+        # SPLIT pair domain (round-5 candidate): the full nb*cap sort
+        # domain is ~90% dead sentinel at cap=48 (measured mean union
+        # ~6/block), so sort only the head columns k < H for every block
+        # plus the tail columns of the few blocks whose union exceeds H,
+        # compacted (cumsum+scatter over [nb] rows — cheap) into a
+        # static budget of nb//split_tail_den block rows. Blocks past
+        # the tail budget complete exactly via the overflow fallback
+        # (rare: needs >nb/den blocks over H in one wave). Downstream is
+        # unchanged — the sort payload IS the flat pair id b*cap+k in
+        # both layouts, and within-cluster pair order is free (the
+        # resolve is a lexicographic (t, tri) min). Unlike a per-block
+        # cap cut (cap16 measured 2.5x WORSE — per-block overflow swamps
+        # the fallback), the tail budget is a TOTAL bound with ~8x
+        # headroom over the measured mean, so fallback traffic stays at
+        # the cap-48 level.
+        h = split_head
+        tb_cap = max(1, nb // split_tail_den)
+        is_tail = n_cand > h
+        tail_rank = jnp.cumsum(is_tail.astype(jnp.int32))     # inclusive
+        over_budget = is_tail & (tail_rank > tb_cap)
+        over = over | over_budget
+        n_cand = jnp.where(over_budget, 0, n_cand)
+        kidx = jnp.arange(h, dtype=jnp.int32)[None, :]
+        livek_h = kidx < n_cand[:, None]
+        key_h = jnp.where(livek_h, order[:, :h], c).reshape(-1)
+        pid_h = (jnp.arange(nb, dtype=jnp.int32)[:, None] * cap
+                 + kidx).reshape(-1)
+        # Compact the tail blocks (block order preserved -> deterministic
+        # budget cut), then gather only their tail columns.
+        tpos = jnp.where(is_tail & ~over_budget, tail_rank - 1, tb_cap)
+        tail_blk = (
+            jnp.full((tb_cap,), nb, jnp.int32)
+            .at[tpos].set(jnp.arange(nb, dtype=jnp.int32), mode="drop")
+        )
+        tb_live = tail_blk < nb
+        tbi = jnp.minimum(tail_blk, nb - 1)
+        kt = h + jnp.arange(cap - h, dtype=jnp.int32)[None, :]
+        livek_t = tb_live[:, None] & (kt < n_cand[tbi][:, None])
+        key_t = jnp.where(livek_t, order[tbi, h:cap], c).reshape(-1)
+        pid_t = (tbi[:, None] * cap + kt).reshape(-1)
+        key = jnp.concatenate([key_h, key_t])
+        pid = jnp.concatenate([pid_h, pid_t])
+        n_pairs = int(key.shape[0])
+        key_sorted, perm = jax.lax.sort((key, pid), num_keys=1)
+    else:
+        # Flat pair keys: cid for live pairs, sentinel c for dead slots.
+        livek = jnp.arange(cap, dtype=jnp.int32)[None, :] < n_cand[:, None]
+        key = jnp.where(livek, order, c).reshape(-1)          # [nb*cap]
+        n_pairs = nb * cap
+        key_sorted, perm = jax.lax.sort(
+            (key, jnp.arange(n_pairs, dtype=jnp.int32)), num_keys=1
+        )
 
     base = jnp.searchsorted(
         key_sorted, jnp.arange(c + 1, dtype=jnp.int32)
@@ -621,7 +667,7 @@ def _run(
     block, cap, tile_blocks, row_chunk, tile_chunk,
     sort, sort_mode, fallback_block, fallback_compact, want_tri,
     use_pallas=False, interpret=False, levels=0, super_cap=48,
-    sub_skip=False, fallback_sorted=False,
+    sub_skip=False, fallback_sorted=False, pair_split=0,
 ):
     n = origins.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -657,7 +703,8 @@ def _run(
     if use_pallas:
         from path_tracer_ai_tpu.accel.pallas_ctiles import GROUP as tile_group
     pairs = _build_pairs(accel, order, n_cand, over, cap, tile_blocks,
-                         tile_chunk, tile_group=tile_group)
+                         tile_chunk, tile_group=tile_group,
+                         split_head=pair_split)
     blk_res = _sweep_resolve(
         accel, pairs, o_blk, d_blk, tm_blk, t_min,
         cap, tile_blocks, tile_chunk, want_tri,
@@ -709,6 +756,7 @@ def _run(
         "tile_chunk", "sort", "sort_mode", "fallback_block",
         "fallback_compact", "use_pallas", "interpret",
         "levels", "super_cap", "sub_skip", "fallback_sorted",
+        "pair_split",
     ),
 )
 def closest_hit_ctiles(
@@ -732,6 +780,7 @@ def closest_hit_ctiles(
     super_cap: int = 48,
     sub_skip: bool = False,
     fallback_sorted: bool = False,
+    pair_split: int = 0,
 ) -> PacketHit:
     """Closest hit via cluster-major tiles; exact for every ray."""
     best_t, best_tri = _run(
@@ -742,7 +791,7 @@ def closest_hit_ctiles(
         fallback_compact=fallback_compact, want_tri=True,
         use_pallas=use_pallas, interpret=interpret,
         levels=levels, super_cap=super_cap, sub_skip=sub_skip,
-        fallback_sorted=fallback_sorted,
+        fallback_sorted=fallback_sorted, pair_split=pair_split,
     )
     hit = jnp.isfinite(best_t)
     return PacketHit(hit=hit, t=best_t, tri=jnp.where(hit, best_tri, -1))
@@ -756,6 +805,7 @@ def closest_hit_ctiles(
         "tile_chunk", "sort", "sort_mode", "fallback_block",
         "fallback_compact", "use_pallas", "interpret",
         "levels", "super_cap", "sub_skip", "fallback_sorted",
+        "pair_split",
     ),
 )
 def any_hit_ctiles(
@@ -779,6 +829,7 @@ def any_hit_ctiles(
     super_cap: int = 48,
     sub_skip: bool = False,
     fallback_sorted: bool = False,
+    pair_split: int = 0,
 ) -> jnp.ndarray:
     """Occlusion query via cluster-major tiles; exact for every ray."""
     (occ,) = _run(
@@ -789,6 +840,6 @@ def any_hit_ctiles(
         fallback_compact=fallback_compact, want_tri=False,
         use_pallas=use_pallas, interpret=interpret,
         levels=levels, super_cap=super_cap, sub_skip=sub_skip,
-        fallback_sorted=fallback_sorted,
+        fallback_sorted=fallback_sorted, pair_split=pair_split,
     )
     return occ

@@ -46,6 +46,45 @@ def save(path: str, acc: np.ndarray, cnt: np.ndarray, next_sample: int,
     log.info("Checkpoint saved: %s (next sample %d)", path, next_sample)
 
 
+def peek_fingerprint(path: str) -> Optional[str]:
+    """Read only a checkpoint's stored fingerprint (no array data)."""
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path) as z:
+            return bytes(z["fingerprint"]).decode()
+    except (OSError, KeyError, ValueError) as e:
+        log.warning("Failed to peek checkpoint %s: %s", path, e)
+        return None
+
+
+def compatible_spp(stored_fp: str, like_fp: str) -> Optional[int]:
+    """If stored_fp differs from like_fp ONLY in the sppN field, return
+    stored_fp's spp (else None).
+
+    A session killed mid-chunk leaves the checkpoint stamped with the
+    CHUNK-TARGET spp (wavefront.render saves under the fingerprint of the
+    render it is performing), not the last chunk boundary the results
+    artifact recorded. Such a checkpoint is directly resumable by
+    re-rendering to the stored spp — discarding it restarts the whole
+    accumulation (this orphaned a 288-spp 4K lineage in round 5)."""
+    a, b = stored_fp.split("|"), like_fp.split("|")
+    if len(a) != len(b):
+        return None
+    spp = None
+    for x, y in zip(a, b):
+        if x == y:
+            continue
+        if x.startswith("spp") and y.startswith("spp"):
+            try:
+                spp = int(x[3:])
+            except ValueError:
+                return None
+        else:
+            return None
+    return spp
+
+
 def load(path: str, fp: str) -> Optional[Tuple[np.ndarray, np.ndarray, int]]:
     if not os.path.exists(path):
         return None

@@ -36,6 +36,17 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _orphaned_mid_chunk_spp(ck, prev_fp):
+    """Stored spp of a checkpoint that matches prev_fp in everything BUT
+    spp (a mid-chunk stamp from a killed session), else None."""
+    from path_tracer_ai_tpu.io import checkpoint as ckpt_io
+
+    stored = ckpt_io.peek_fingerprint(ck)
+    if stored is None:
+        return None
+    return ckpt_io.compatible_spp(stored, prev_fp)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip", nargs="*", default=[])
@@ -312,6 +323,23 @@ def main():
                 if loaded is not None:
                     acc, cnt, next_s = loaded
                     ckpt_io.save(ck, acc, cnt, next_s, fp_now)
+                elif (mid := _orphaned_mid_chunk_spp(ck, prev_fp)) \
+                        and mid > spp_done:
+                    # A previous session died INSIDE a chunk: the
+                    # checkpoint is stamped with that chunk's target spp
+                    # and resumes in-render (wavefront.render loads it
+                    # via checkpoint_path when the fingerprint matches).
+                    # Finish the orphaned chunk instead of restarting the
+                    # accumulation (round-5 incident: a spp320 mid-chunk
+                    # stamp orphaned a 288-spp lineage).
+                    target = max(target, mid)
+                    spp_to = mid
+                    s4k = cfg.settings.replace(samples_per_pixel=mid,
+                                               seed=3)
+                    fp_now = ckpt_io.fingerprint(
+                        s4k, scene.triangles.count, 3)
+                    log(f"[4k] resuming orphaned mid-chunk checkpoint "
+                        f"to {mid} spp (artifact was at {spp_done})")
                 else:
                     # Bound the restart to the REQUESTED increment: without
                     # shrinking `target`, a lost checkpoint would silently

@@ -555,6 +555,30 @@ class TestCtilesTraversal:
         o, d = random_rays(rng, 128, spread=3.0)
         self._check(tris, accel, o, d, cap=4)
 
+    def test_pair_split(self, rng):
+        """Opt-in split pair domain: head columns + compacted tail blocks.
+
+        pair_split=2 routes most unions through the tail gather;
+        pair_split=1 on a crowded soup overflows the nb//8 tail budget,
+        exercising the budget->fallback path. Both must stay exact, and
+        hit/tri must match the unsplit build exactly (t at tolerance:
+        the CPU fusion-context FMA caveat, docs/ARCHITECTURE.md)."""
+        from path_tracer_ai_tpu.accel.ctiles import closest_hit_ctiles
+
+        tris = random_soup(rng, 600, spread=2.0)
+        accel = build_clusters(tris, cluster_size=16, super_size=4)
+        o, d = random_rays(rng, 256)
+        for h in (1, 2):
+            self._check(tris, accel, o, d, pair_split=h)
+        kw = dict(row_chunk=32, tile_chunk=4)
+        h0 = closest_hit_ctiles(accel, o, d, 1e-3, np.inf, **kw)
+        h1 = closest_hit_ctiles(accel, o, d, 1e-3, np.inf, pair_split=2,
+                                **kw)
+        np.testing.assert_array_equal(np.asarray(h0.hit),
+                                      np.asarray(h1.hit))
+        np.testing.assert_array_equal(np.asarray(h0.tri),
+                                      np.asarray(h1.tri))
+
     def test_budget_overflow_fallback(self, rng):
         tris = random_soup(rng, 600, spread=2.0)
         accel = build_clusters(tris, cluster_size=8, super_size=4)

@@ -167,6 +167,39 @@ def test_checkpoint_fingerprint_mismatch_ignored(room_scene, tmp_path):
     assert img.shape == (18, 32, 3)
 
 
+def test_mid_chunk_checkpoint_resumable(tmp_path):
+    """A checkpoint stamped mid-chunk (killed session) must be detected as
+    resumable, not stale: compatible_spp returns its spp iff the stored
+    fingerprint differs ONLY in the spp field, and the run_baselines
+    helper surfaces it (round-5 incident: a spp320 mid-chunk stamp
+    orphaned a 288-spp 4K lineage)."""
+    import sys
+
+    import numpy as np
+
+    from path_tracer_ai_tpu.io import checkpoint as ckpt_io
+
+    fp288 = ckpt_io.fingerprint(SETTINGS.replace(samples_per_pixel=288), 81928, 3)
+    fp320 = ckpt_io.fingerprint(SETTINGS.replace(samples_per_pixel=320), 81928, 3)
+    assert ckpt_io.compatible_spp(fp320, fp288) == 320
+    assert ckpt_io.compatible_spp(fp288, fp288) is None  # no spp diff
+    # any OTHER field differing -> not resumable
+    fp_seed = ckpt_io.fingerprint(SETTINGS.replace(samples_per_pixel=320), 81928, 4)
+    assert ckpt_io.compatible_spp(fp_seed, fp288) is None
+    fp_tris = ckpt_io.fingerprint(SETTINGS.replace(samples_per_pixel=320), 99, 3)
+    assert ckpt_io.compatible_spp(fp_tris, fp288) is None
+
+    ck = str(tmp_path / "mid.npz")
+    ckpt_io.save(ck, np.zeros((4, 3), np.float32), np.zeros((4,), np.int32),
+                 7, fp320)
+    assert ckpt_io.peek_fingerprint(ck) == fp320
+    sys.path.insert(0, "/root/repo/scripts")
+    from run_baselines import _orphaned_mid_chunk_spp
+
+    assert _orphaned_mid_chunk_spp(ck, fp288) == 320
+    assert _orphaned_mid_chunk_spp(str(tmp_path / "absent.npz"), fp288) is None
+
+
 def test_spp_not_divisible_by_chunk(room_scene):
     """spp=5 with sc=2 -> tail pass half-masked; counts must equal spp."""
     s = SETTINGS.replace(samples_per_pixel=5)
