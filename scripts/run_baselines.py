@@ -432,6 +432,9 @@ def write_results_md(results, results_md):
         elif name == "4k":
             ev = (f"cumulative {r.get('spp_cumulative')}/1024 spp across "
                   f"{len(r.get('lineage', []))} sessions")
+            if r.get("orphaned_spp"):
+                ev += (f"; a prior {r['orphaned_spp']}-spp lineage was "
+                       "orphaned by a mid-chunk kill (incident in JSON)")
         elif "blob_same_seed_agreement" in results:
             ag = results["blob_same_seed_agreement"]
             ev = f"same-seed oracle agreement max {ag['max_abs']:.2e}"
