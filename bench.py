@@ -38,7 +38,12 @@ _OUTAGE_MARKERS = (
 )
 
 
-_SESSION_MARKERS = (b"session_r5.py", b"session_r4.py", b"session_r3jk.py")
+# Prefix-style substrings: b"session_r5" covers session_r5.py /
+# session_r5b.py / session_r5_tail.py. run_baselines / the big-scene probe
+# are TPU clients in their own right when driven directly.
+_SESSION_MARKERS = (b"session_r5", b"session_r4.py", b"session_r3jk.py",
+                    b"run_baselines.py", b"probe_r4_bigscene.py",
+                    b"probe_r5")
 
 
 def _session_client_running(markers=_SESSION_MARKERS) -> bool:
