@@ -393,6 +393,18 @@ if best is not None and not smoke and not stop_requested():
         wavefront.clear_executable_caches()
 
 # ---------------------------------------------------------------------------
+# 5.5 kernel-throughput ladder (is the tile sweep at the VPU floor?)
+# ---------------------------------------------------------------------------
+if not stop_requested():
+    try:
+        sys.path.insert(0, "/root/repo/scripts")
+        import probe_r5_kernel
+
+        probe_r5_kernel.main(smoke=smoke)
+    except Exception as e:  # noqa: BLE001
+        emit(probe="kernel_ladder", error=str(e)[:300])
+
+# ---------------------------------------------------------------------------
 # 6. 4K progressive increment (chunked, checkpointed, stop-file-aware)
 # ---------------------------------------------------------------------------
 if "--skip-4k" not in ARGS and not stop_requested():
