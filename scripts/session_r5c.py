@@ -343,9 +343,13 @@ if not stop_requested():
              vs_prod=round(prod_dt / best[1], 3))
 
 # ---------------------------------------------------------------------------
-# 5. e2e A/B (bitwise gate) — only on a >=1.5% wave-level winner
+# 5. e2e panel (bitwise gate) — FIXED panel, not wave-level-gated: client
+#    B's adjudication showed the transfer can INVERT (split16 lost 2x
+#    wave-level on the synthetic 2^20 wave yet won e2e 3.32 vs 3.14,
+#    images bitwise identical — real render waves have far smaller unions
+#    than the probe wave, so the tail budget holds there).
 # ---------------------------------------------------------------------------
-if best is not None and not smoke and not stop_requested():
+if not smoke and not stop_requested():
     from path_tracer_ai_tpu.config import RenderSettings
     from path_tracer_ai_tpu.scene.camera import default_camera
 
@@ -379,13 +383,21 @@ if best is not None and not smoke and not stop_requested():
              warm_s=round(warm_s, 1), render_s=round(bestm[1], 1))
         return bestm[0], img
 
+    panel = [("split16", dict(pair_split=16)),
+             ("split32", dict(pair_split=32))]
+    if best is not None and best[0] not in dict(panel):
+        panel.append((best[0], best[2]))
     try:
         m_prod, img_a = e2e("prod_r5", CKW0)
-        m_ch, img_b = e2e(best[0], dict(CKW0, **best[2]))
-        identical = bool(np.array_equal(img_a, img_b))
-        emit(probe="e2e_retune_gate", identical=identical,
-             prod=round(m_prod, 2), challenger=round(m_ch, 2),
-             config=best[0], wins=bool(identical and m_ch > m_prod))
+        for tag, kw in panel:
+            if stop_requested():
+                emit(probe="e2e_retune", config=tag, status="skipped: stop")
+                break
+            m_ch, img_b = e2e(tag, dict(CKW0, **kw))
+            identical = bool(np.array_equal(img_a, img_b))
+            emit(probe="e2e_retune_gate", identical=identical,
+                 prod=round(m_prod, 2), challenger=round(m_ch, 2),
+                 config=tag, wins=bool(identical and m_ch > m_prod))
     except Exception as e:  # noqa: BLE001
         emit(probe="e2e_retune", error=str(e)[:300])
     finally:
