@@ -86,14 +86,15 @@ def main(smoke=False):
 
     ipkw = dict(interpret=True) if smoke else {}
 
-    def ladder_call(kernel_body, group, n_out=2):
+    def ladder_call(kernel_body, group, n_out=2, tri_block=(1, 16, None)):
         """pallas_call wrapper mirroring tile_sweep's grid/spec layout."""
+        tb = tuple(s if x is None else x for x in tri_block)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nt // group,),
             in_specs=[
                 pl.BlockSpec((group, 8, T), lambda i, cid: (i, 0, 0)),
-                pl.BlockSpec((1, 16, s), lambda i, cid: (cid[i * group], 0, 0)),
+                pl.BlockSpec(tb, lambda i, cid: (cid[i * group], 0, 0)),
             ],
             out_specs=[pl.BlockSpec((group, T), lambda i, cid: (i, 0))
                        ] * n_out,
@@ -110,6 +111,15 @@ def main(smoke=False):
         del cid_ref
         trit = tri_ref[0].T                               # [S, 16]
         col = jnp.max(trit[:, 0:1])                       # consume the DMA
+        for g in range(group):
+            t_out_ref[g, :] = rays_ref[g][6, :] + col
+
+    def dma_floor_notr_kernel(cid_ref, rays_ref, tri_ref, t_out_ref,
+                              *, group):
+        # Same floor WITHOUT the [16,S]->[S,16] transpose: the delta vs
+        # dma_floor attributes the per-step transpose cost.
+        del cid_ref
+        col = jnp.max(tri_ref[0][0:1, :])
         for g in range(group):
             t_out_ref[g, :] = rays_ref[g][6, :] + col
 
@@ -130,14 +140,35 @@ def main(smoke=False):
         pc._sweep_kernel(cid_ref, rays_ref, tri_ref, t_out_ref,
                          tri_out_ref, group=group)
 
+    def packt_kernel(cid_ref, rays_ref, tri_ref, t_out_ref, tri_out_ref,
+                     *, group):
+        # Pre-transposed [C, S, 16] pack: the kernel consumes trit
+        # DIRECTLY (no per-step [16,S]->[S,16] transpose). Identical MT
+        # arithmetic on identical values -> bitwise vs production.
+        del cid_ref
+        trit = tri_ref[0]                                 # [S, 16]
+        for g in range(group):
+            rays = rays_ref[g]
+            ox, oy, oz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
+            dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
+            tmax_r, tmin_r = rays[6:7, :], rays[7:8, :]
+            best, trik = pc._mt_rows(trit, ox, oy, oz, dx, dy, dz,
+                                     tmin_r, tmax_r)
+            t_out_ref[g, :] = best[0]
+            tri_out_ref[g, :] = trik[0]
+
+    tri_pack_t = jnp.swapaxes(tri_pack, 1, 2)             # [C, S, 16]
     rows = {}
     ref_t = ref_tri = None
     ladder = [
         ("dma_floor", dma_floor_kernel, 8, 1),
+        ("dma_floor_notr", dma_floor_notr_kernel, 8, 1),
         ("mt_only", mt_only_kernel, 8, 1),
         ("prod", prod_kernel_g, 8, 2),
         ("prod_g16", prod_kernel_g, 16, 2),
         ("prod_g32", prod_kernel_g, 32, 2),
+        ("packt", packt_kernel, 8, 2),
+        ("packt_g16", packt_kernel, 16, 2),
     ]
     for tag, body, group, n_out in ladder:
         if nt % group:
@@ -148,9 +179,13 @@ def main(smoke=False):
         if group > 8:
             cid_np = np.asarray(tile_cid).reshape(-1, group)
             cid = jnp.asarray(np.repeat(cid_np[:, 0], group))
+        is_packt = tag.startswith("packt")
         try:
-            fn = ladder_call(body, group, n_out)
-            dt, cs, out = timeit(lambda: fn(cid, rays_pack, tri_pack))
+            fn = ladder_call(body, group, n_out,
+                             tri_block=(1, None, 16) if is_packt
+                             else (1, 16, None))
+            pack = tri_pack_t if is_packt else tri_pack
+            dt, cs, out = timeit(lambda: fn(cid, rays_pack, pack))
             gtests = tests / dt / 1e9
             rows[tag] = (dt, out, cid)
             emit(probe="kernel_ladder", variant=tag, ms=round(dt * 1e3, 2),
@@ -162,7 +197,7 @@ def main(smoke=False):
 
     # Exactness gates (vs the shipped kernel at the same cids):
     # mt_only's best-t must be bitwise (identical arithmetic); the wider
-    # groups must match t AND tri bitwise.
+    # groups and the pre-transposed pack must match t AND tri bitwise.
     if ref_t is not None:
         if "mt_only" in rows:
             (t_mt,) = rows["mt_only"][1]
@@ -170,13 +205,16 @@ def main(smoke=False):
                  t_mismatch=int(jnp.sum(
                      ~(jnp.equal(t_mt, ref_t)
                        | (jnp.isinf(t_mt) & jnp.isinf(ref_t))))))
-        for tag in ("prod_g16", "prod_g32"):
+        for tag in ("prod_g16", "prod_g32", "packt", "packt_g16"):
             if tag not in rows:
                 continue
             _, (tg, trig), cid_g = rows[tag]
-            # Re-run prod at the coarsened cids for an apples gate.
-            fn = ladder_call(prod_kernel_g, 8, 2)
-            t8, tri8 = fn(cid_g, rays_pack, tri_pack)
+            if cid_g is tile_cid:
+                t8, tri8 = ref_t, ref_tri
+            else:
+                # Re-run prod at the coarsened cids for an apples gate.
+                fn = ladder_call(prod_kernel_g, 8, 2)
+                t8, tri8 = fn(cid_g, rays_pack, tri_pack)
             emit(probe="kernel_ladder_gate", variant=tag,
                  t_mismatch=int(jnp.sum(~jnp.equal(tg, t8))),
                  tri_mismatch=int(jnp.sum(trig != tri8)))

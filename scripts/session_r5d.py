@@ -215,6 +215,74 @@ if "--skip-bigscene" not in ARGS and not stop_requested():
             emit(probe="bigshadow", engine=tag, error=str(e)[:300])
 
 # ---------------------------------------------------------------------------
+# 2.5 extended kernel ladder (transpose attribution + pre-transposed pack)
+# ---------------------------------------------------------------------------
+if not stop_requested():
+    try:
+        sys.path.insert(0, "/root/repo/scripts")
+        import probe_r5_kernel
+
+        probe_r5_kernel.main(smoke=smoke)
+    except Exception as e:  # noqa: BLE001
+        emit(probe="kernel_ladder", error=str(e)[:300])
+
+# ---------------------------------------------------------------------------
+# 2.6 GROUP=16 e2e A/B on the benchmark scene (bitwise gate) — session C's
+#     ladder measured prod_g16 +3.9% wave-level, bitwise clean; the e2e
+#     cost is _build_pairs' coarser per-cluster padding (16-tile runs).
+# ---------------------------------------------------------------------------
+if not smoke and not stop_requested():
+    from path_tracer_ai_tpu.accel import pallas_ctiles
+    from path_tracer_ai_tpu.accel.clusters import build_clusters
+    from path_tracer_ai_tpu.config import RenderSettings
+    from path_tracer_ai_tpu.scene.camera import default_camera
+
+    host_s = {}
+    scene_s, accel_s = _demo_scene(subdivisions=6, host_out=host_s)
+    accel_sc = build_clusters(host_s["tris"], cluster_size=256)
+    cam = default_camera()
+    settings = RenderSettings(width=1920, height=1080, samples_per_pixel=2,
+                              max_bounces=5, seed=0)
+    G0 = pallas_ctiles.GROUP
+
+    def e2e_g(tag, group):
+        pallas_ctiles.GROUP = group
+        wavefront.clear_executable_caches()
+        t0 = time.perf_counter()
+        wavefront.render(scene_s, cam, settings, accel=accel_s,
+                         block_size=64, wave_size=1 << 20, backend="hybrid",
+                         accel_closest=accel_sc)
+        warm_s = time.perf_counter() - t0
+        best = None
+        img = None
+        for _ in range(2):
+            stats = wavefront.RenderStats()
+            t0 = time.perf_counter()
+            img = wavefront.render(scene_s, cam, settings, accel=accel_s,
+                                   stats=stats, block_size=64,
+                                   wave_size=1 << 20, backend="hybrid",
+                                   accel_closest=accel_sc)
+            if best is None or stats.mrays_per_s > best:
+                best = stats.mrays_per_s
+        assert np.isfinite(img).all()
+        emit(probe="e2e_group", config=tag, group=group,
+             mrays=round(best, 2), warm_s=round(warm_s, 1))
+        return best, img
+
+    try:
+        m8, img8 = e2e_g("prod_g8", 8)
+        m16, img16 = e2e_g("g16", 16)
+        identical = bool(np.array_equal(img8, img16))
+        emit(probe="e2e_group_gate", identical=identical,
+             prod=round(m8, 2), g16=round(m16, 2),
+             wins=bool(identical and m16 > m8))
+    except Exception as e:  # noqa: BLE001
+        emit(probe="e2e_group", error=str(e)[:300])
+    finally:
+        pallas_ctiles.GROUP = G0
+        wavefront.clear_executable_caches()
+
+# ---------------------------------------------------------------------------
 # 3. 4K progressive increment (chunked, checkpointed, stop-file-aware)
 # ---------------------------------------------------------------------------
 if "--skip-4k" not in ARGS and not stop_requested():
