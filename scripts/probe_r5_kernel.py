@@ -157,6 +157,49 @@ def main(smoke=False):
             t_out_ref[g, :] = best[0]
             tri_out_ref[g, :] = trik[0]
 
+    def dual_kernel(cid_ref, rays_ref, tri_a, tri_b, t_out_ref,
+                    tri_out_ref, *, group):
+        # TWO cluster blocks per grid step (separate BlockSpecs): halves
+        # the step count without coarsening the pair-table padding
+        # granularity (each half is still a GROUP=8 run). If the 37%
+        # kernel floor is per-STEP overhead, this claws back half of it.
+        del cid_ref
+        for half, tri_ref in ((0, tri_a), (1, tri_b)):
+            trit = tri_ref[0].T
+            for g in range(group):
+                gg = half * group + g
+                rays = rays_ref[gg]
+                ox, oy, oz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
+                dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
+                tmax_r, tmin_r = rays[6:7, :], rays[7:8, :]
+                best, trik = pc._mt_rows(trit, ox, oy, oz, dx, dy, dz,
+                                         tmin_r, tmax_r)
+                t_out_ref[gg, :] = best[0]
+                tri_out_ref[gg, :] = trik[0]
+
+    def dual_call(group=8):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nt // (2 * group),),
+            in_specs=[
+                pl.BlockSpec((2 * group, 8, T), lambda i, cid: (i, 0, 0)),
+                pl.BlockSpec((1, 16, s),
+                             lambda i, cid: (cid[i * 2 * group], 0, 0)),
+                pl.BlockSpec((1, 16, s),
+                             lambda i, cid: (cid[i * 2 * group + group],
+                                             0, 0)),
+            ],
+            out_specs=[pl.BlockSpec((2 * group, T),
+                                    lambda i, cid: (i, 0))] * 2,
+        )
+        return pl.pallas_call(
+            functools.partial(dual_kernel, group=group),
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((nt, T), jnp.float32),
+                       jax.ShapeDtypeStruct((nt, T), jnp.int32)],
+            **ipkw,
+        )
+
     tri_pack_t = jnp.swapaxes(tri_pack, 1, 2)             # [C, S, 16]
     rows = {}
     ref_t = ref_tri = None
@@ -195,6 +238,18 @@ def main(smoke=False):
         except Exception as e:  # noqa: BLE001
             emit(probe="kernel_ladder", variant=tag, error=str(e)[:300])
 
+    try:
+        fn = dual_call(8)
+        dt, cs, out = timeit(lambda: fn(tile_cid, rays_pack,
+                                        tri_pack, tri_pack))
+        rows["dual8"] = (dt, out, tile_cid)
+        emit(probe="kernel_ladder", variant="dual8",
+             ms=round(dt * 1e3, 2),
+             gtests_per_s=round(tests / dt / 1e9, 1),
+             compile_s=round(cs, 1))
+    except Exception as e:  # noqa: BLE001
+        emit(probe="kernel_ladder", variant="dual8", error=str(e)[:300])
+
     # Exactness gates (vs the shipped kernel at the same cids):
     # mt_only's best-t must be bitwise (identical arithmetic); the wider
     # groups and the pre-transposed pack must match t AND tri bitwise.
@@ -205,7 +260,7 @@ def main(smoke=False):
                  t_mismatch=int(jnp.sum(
                      ~(jnp.equal(t_mt, ref_t)
                        | (jnp.isinf(t_mt) & jnp.isinf(ref_t))))))
-        for tag in ("prod_g16", "prod_g32", "packt", "packt_g16"):
+        for tag in ("prod_g16", "prod_g32", "packt", "packt_g16", "dual8"):
             if tag not in rows:
                 continue
             _, (tg, trig), cid_g = rows[tag]
