@@ -485,7 +485,7 @@ def _build_pairs(accel, order, n_cand, over, cap, tile_blocks, tile_chunk,
 def _sweep_resolve(
     accel, pairs, o_blk, d_blk, tm_blk, t_min,
     cap, tile_blocks, tile_chunk, want_tri,
-    use_pallas=False, interpret=False, sub_skip=False,
+    use_pallas=False, interpret=False, sub_skip=False, pack_t=False,
 ):
     """Fused sweep + resolve: dense [chunk, T, S] MT over cluster-major
     tiles, per-block reduction via chunked row scatter-min.
@@ -549,6 +549,11 @@ def _sweep_resolve(
 
         assert tc % pc.GROUP == 0, (tc, pc.GROUP)
         tri_pack = pc.pack_tris(accel)
+        if pack_t:
+            # Pre-transposed [C, S, 16] pack: the kernel consumes trit
+            # directly (no per-step transpose) — bitwise-identical output
+            # (round-5 ladder; transposition is exact).
+            tri_pack = jnp.swapaxes(tri_pack, 1, 2)
         tmin_row = jnp.broadcast_to(
             jnp.asarray(t_min, jnp.float32), (nb, 1, b)
         )
@@ -587,7 +592,7 @@ def _sweep_resolve(
             cid_c = sc.reshape(tc, tb)[:, 0]
             ct, tri_min = pc.tile_sweep(
                 tri_pack, rays_pack, cid_c, interpret=interpret,
-                sub_skip=sub_skip,
+                sub_skip=sub_skip, pack_t=pack_t,
             )
             return blk, ct, tri_min
     else:
@@ -667,7 +672,7 @@ def _run(
     block, cap, tile_blocks, row_chunk, tile_chunk,
     sort, sort_mode, fallback_block, fallback_compact, want_tri,
     use_pallas=False, interpret=False, levels=0, super_cap=48,
-    sub_skip=False, fallback_sorted=False, pair_split=0,
+    sub_skip=False, fallback_sorted=False, pair_split=0, pallas_pack_t=False,
 ):
     n = origins.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -709,6 +714,7 @@ def _run(
         accel, pairs, o_blk, d_blk, tm_blk, t_min,
         cap, tile_blocks, tile_chunk, want_tri,
         use_pallas=use_pallas, interpret=interpret, sub_skip=sub_skip,
+        pack_t=pallas_pack_t,
     )
     over_blk = pairs["overflow"][:, None] & jnp.ones((nb, block), bool)
     if fallback_sorted:
@@ -756,7 +762,7 @@ def _run(
         "tile_chunk", "sort", "sort_mode", "fallback_block",
         "fallback_compact", "use_pallas", "interpret",
         "levels", "super_cap", "sub_skip", "fallback_sorted",
-        "pair_split",
+        "pair_split", "pallas_pack_t",
     ),
 )
 def closest_hit_ctiles(
@@ -781,6 +787,7 @@ def closest_hit_ctiles(
     sub_skip: bool = False,
     fallback_sorted: bool = False,
     pair_split: int = 0,
+    pallas_pack_t: bool = False,
 ) -> PacketHit:
     """Closest hit via cluster-major tiles; exact for every ray."""
     best_t, best_tri = _run(
@@ -792,6 +799,7 @@ def closest_hit_ctiles(
         use_pallas=use_pallas, interpret=interpret,
         levels=levels, super_cap=super_cap, sub_skip=sub_skip,
         fallback_sorted=fallback_sorted, pair_split=pair_split,
+        pallas_pack_t=pallas_pack_t,
     )
     hit = jnp.isfinite(best_t)
     return PacketHit(hit=hit, t=best_t, tri=jnp.where(hit, best_tri, -1))
@@ -805,7 +813,7 @@ def closest_hit_ctiles(
         "tile_chunk", "sort", "sort_mode", "fallback_block",
         "fallback_compact", "use_pallas", "interpret",
         "levels", "super_cap", "sub_skip", "fallback_sorted",
-        "pair_split",
+        "pair_split", "pallas_pack_t",
     ),
 )
 def any_hit_ctiles(
@@ -830,6 +838,7 @@ def any_hit_ctiles(
     sub_skip: bool = False,
     fallback_sorted: bool = False,
     pair_split: int = 0,
+    pallas_pack_t: bool = False,
 ) -> jnp.ndarray:
     """Occlusion query via cluster-major tiles; exact for every ray."""
     (occ,) = _run(
@@ -841,5 +850,6 @@ def any_hit_ctiles(
         use_pallas=use_pallas, interpret=interpret,
         levels=levels, super_cap=super_cap, sub_skip=sub_skip,
         fallback_sorted=fallback_sorted, pair_split=pair_split,
+        pallas_pack_t=pallas_pack_t,
     )
     return occ

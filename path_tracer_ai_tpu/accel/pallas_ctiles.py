@@ -166,7 +166,7 @@ def _sub_pred(tri_ref, k, ox, oy, oz, invx, invy, invz, tmin, tmax):
 
 
 def _sweep_kernel(cid_ref, rays_ref, tri_ref, t_out_ref, tri_out_ref,
-                  *, group, sub_skip=False):
+                  *, group, sub_skip=False, pack_t=False):
     """One grid step = `group` tiles sharing ONE cluster (Mosaic needs
     output blocks with last-two dims divisible by (8, 128), so tiles are
     processed in groups of 8; the host pads each cluster's tile list).
@@ -178,12 +178,19 @@ def _sweep_kernel(cid_ref, rays_ref, tri_ref, t_out_ref, tri_out_ref,
     real closest waves). The (t, tri) accumulators live in the output
     block and combine incrementally with the oracle's lexicographic tie
     rule — min is exact, so results are bitwise identical to the
-    unskipped sweep."""
+    unskipped sweep.
+
+    pack_t=True consumes a PRE-TRANSPOSED [C, S, 16] pack (see
+    tile_sweep), deleting the per-step [16, S] -> [S, 16] transpose.
+    Bitwise: transposition is exact and the MT op order is unchanged
+    (round-5 kernel ladder measured 37% of kernel time in the per-step
+    pipeline/DMA/transpose floor)."""
     from jax.experimental import pallas as pl
 
+    assert not (pack_t and sub_skip), "sub_skip reads [16,S]-layout rows"
     del cid_ref  # consumed by the index_map only
-    tri = tri_ref[0]                                      # [16, S]
-    trit = tri.T                                          # [S, 16]
+    tri = tri_ref[0]                                      # [16,S] / [S,16]
+    trit = tri if pack_t else tri.T                       # [S, 16]
     s = trit.shape[0]
 
     for g in range(group):
@@ -227,17 +234,20 @@ def _sweep_kernel(cid_ref, rays_ref, tri_ref, t_out_ref, tri_out_ref,
 GROUP = 8  # tiles per grid step; output block (GROUP, T) satisfies Mosaic
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "sub_skip"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "sub_skip", "pack_t"))
 def tile_sweep(tri_pack, rays_pack, tile_cid, interpret=False,
-               sub_skip=False):
+               sub_skip=False, pack_t=False):
     """Fused per-tile sweep: (t [nt, T], tri [nt, T]); tri = I32_MAX on miss.
 
-    tri_pack [C, 16, S] (pack_tris), rays_pack [nt, 8, T]
-    (pack_rays_tiles; row 7 = t_min), tile_cid [nt] i32. nt must be a
-    multiple of GROUP and tile_cid must be constant within each
-    GROUP-tile run (the cluster-major pair builder pads each cluster's
-    tile list to GROUP-tile granularity — _build_pairs tile_group);
-    tile_cid is also the DMA-elision key across consecutive steps.
+    tri_pack [C, 16, S] (pack_tris) — or [C, S, 16] when pack_t=True
+    (jnp.swapaxes(pack, 1, 2)), which deletes the kernel's per-step
+    transpose — rays_pack [nt, 8, T] (pack_rays_tiles; row 7 = t_min),
+    tile_cid [nt] i32. nt must be a multiple of GROUP and tile_cid must
+    be constant within each GROUP-tile run (the cluster-major pair
+    builder pads each cluster's tile list to GROUP-tile granularity —
+    _build_pairs tile_group); tile_cid is also the DMA-elision key
+    across consecutive steps.
 
     The production caller (ctiles._sweep_resolve use_pallas=True) invokes
     this per tile-chunk inside a dynamically-bounded fori_loop, so kernel
@@ -248,16 +258,17 @@ def tile_sweep(tri_pack, rays_pack, tile_cid, interpret=False,
     from jax.experimental.pallas import tpu as pltpu
 
     nt, _, t_lanes = rays_pack.shape
-    s = tri_pack.shape[2]
+    s = tri_pack.shape[1] if pack_t else tri_pack.shape[2]
     g = GROUP
     assert nt % g == 0, nt
 
+    tri_block = (1, s, 16) if pack_t else (1, 16, s)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt // g,),
         in_specs=[
             pl.BlockSpec((g, 8, t_lanes), lambda i, cid: (i, 0, 0)),
-            pl.BlockSpec((1, 16, s), lambda i, cid: (cid[i * g], 0, 0)),
+            pl.BlockSpec(tri_block, lambda i, cid: (cid[i * g], 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((g, t_lanes), lambda i, cid: (i, 0)),
@@ -265,7 +276,8 @@ def tile_sweep(tri_pack, rays_pack, tile_cid, interpret=False,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_sweep_kernel, group=g, sub_skip=sub_skip),
+        functools.partial(_sweep_kernel, group=g, sub_skip=sub_skip,
+                          pack_t=pack_t),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nt, t_lanes), jnp.float32),

@@ -274,6 +274,8 @@ def main(smoke=False):
                  t_mismatch=int(jnp.sum(~jnp.equal(tg, t8))),
                  tri_mismatch=int(jnp.sum(trig != tri8)))
 
+    return {tag: v[0] for tag, v in rows.items()}
+
 
 if __name__ == "__main__":
     smoke = "--cpu" in sys.argv

@@ -217,12 +217,13 @@ if "--skip-bigscene" not in ARGS and not stop_requested():
 # ---------------------------------------------------------------------------
 # 2.5 extended kernel ladder (transpose attribution + pre-transposed pack)
 # ---------------------------------------------------------------------------
+ladder_rows = {}
 if not stop_requested():
     try:
         sys.path.insert(0, "/root/repo/scripts")
         import probe_r5_kernel
 
-        probe_r5_kernel.main(smoke=smoke)
+        ladder_rows = probe_r5_kernel.main(smoke=smoke) or {}
     except Exception as e:  # noqa: BLE001
         emit(probe="kernel_ladder", error=str(e)[:300])
 
@@ -244,9 +245,11 @@ if not smoke and not stop_requested():
     settings = RenderSettings(width=1920, height=1080, samples_per_pixel=2,
                               max_bounces=5, seed=0)
     G0 = pallas_ctiles.GROUP
+    CKW0 = dict(wavefront.CTILES_CLOSEST_KW)
 
-    def e2e_g(tag, group):
+    def e2e_g(tag, group, ckw=None):
         pallas_ctiles.GROUP = group
+        wavefront.CTILES_CLOSEST_KW = dict(CKW0, **(ckw or {}))
         wavefront.clear_executable_caches()
         t0 = time.perf_counter()
         wavefront.render(scene_s, cam, settings, accel=accel_s,
@@ -271,15 +274,29 @@ if not smoke and not stop_requested():
 
     try:
         m8, img8 = e2e_g("prod_g8", 8)
-        m16, img16 = e2e_g("g16", 16)
-        identical = bool(np.array_equal(img8, img16))
-        emit(probe="e2e_group_gate", identical=identical,
-             prod=round(m8, 2), g16=round(m16, 2),
-             wins=bool(identical and m16 > m8))
+        panel = [("g16", 16, None)]
+        # packt e2e only if THIS session's ladder showed the kernel win
+        # (>=3% vs prod at the same GROUP).
+        if (ladder_rows.get("packt", 9e9)
+                < ladder_rows.get("prod", 0) * 0.97):
+            panel.append(("packt", 8, dict(pallas_pack_t=True)))
+        if (ladder_rows.get("packt_g16", 9e9)
+                < ladder_rows.get("prod", 0) * 0.97):
+            panel.append(("packt_g16", 16, dict(pallas_pack_t=True)))
+        for tag, group, ckw in panel:
+            if stop_requested():
+                emit(probe="e2e_group", config=tag, status="skipped: stop")
+                break
+            m_ch, img_ch = e2e_g(tag, group, ckw)
+            identical = bool(np.array_equal(img8, img_ch))
+            emit(probe="e2e_group_gate", identical=identical,
+                 prod=round(m8, 2), challenger=round(m_ch, 2),
+                 config=tag, wins=bool(identical and m_ch > m8))
     except Exception as e:  # noqa: BLE001
         emit(probe="e2e_group", error=str(e)[:300])
     finally:
         pallas_ctiles.GROUP = G0
+        wavefront.CTILES_CLOSEST_KW = dict(CKW0)
         wavefront.clear_executable_caches()
 
 # ---------------------------------------------------------------------------

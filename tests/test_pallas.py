@@ -157,6 +157,17 @@ class TestCtilesPallasIntegration:
         pas = any_hit_ctiles(accel, o, d, 1e-3, tmax_arr, use_pallas=True,
                              interpret=True, sub_skip=True, **kw)
         np.testing.assert_array_equal(np.asarray(pas), np.asarray(ba))
+        # pre-transposed [C, S, 16] pack (round-5 kernel-floor lever):
+        # same values, same MT op order — bitwise even in interpret mode
+        # (the transpose is data movement, not arithmetic)
+        pt = closest_hit_ctiles(accel, o, d, 1e-3, t_max, use_pallas=True,
+                                interpret=True, pallas_pack_t=True, **kw)
+        np.testing.assert_array_equal(np.asarray(pt.hit), np.asarray(ph.hit))
+        np.testing.assert_array_equal(np.asarray(pt.t), np.asarray(ph.t))
+        np.testing.assert_array_equal(np.asarray(pt.tri), np.asarray(ph.tri))
+        pat = any_hit_ctiles(accel, o, d, 1e-3, tmax_arr, use_pallas=True,
+                             interpret=True, pallas_pack_t=True, **kw)
+        np.testing.assert_array_equal(np.asarray(pat), np.asarray(ba))
 
     def test_matches_bruteforce_and_xla(self, rng):
         from path_tracer_ai_tpu.core.types import triangles_from_numpy
