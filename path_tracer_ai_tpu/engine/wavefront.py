@@ -59,6 +59,17 @@ _BOUNCE_TIMING = os.environ.get("PT_BOUNCE_TIMING") == "1"
 # origin-major (28k vs 143k rays past cap=96) and tables to 39ms/2^20.
 WORKLIST_CLOSEST_KW = dict(cap=96, item_budget=8)
 WORKLIST_OCCLUDE_KW = dict(sort=False)
+# Big-scene shadow routing (the worklist backend is the >2048-cluster
+# default). "worklist" = unsorted any_hit_worklist (production through
+# round 4); "packets_exact" = the 2-level exact-cull packet cascade, the
+# standing big-scene candidate (conservative unions are 10-100x looser at
+# 1M+ tris; probe_r4_exact_shadow measured 5-10x fewer candidates/block).
+# Session D (round 5) adjudicates this on-chip on 1.31M-tri shadow waves —
+# flip the default only on a measured win. Occlusion is exact either way,
+# so images are bit-identical across the two routes (tests enforce).
+WORKLIST_OCCLUDE_ENGINE = "worklist"
+WORKLIST_OCCLUDE_PACKETS_KW = dict(block_size=64, group_size=2,
+                                   exact_cull=6)
 # group_size=2: probe r3f measured b64_g2 +8% on bare shadow waves (6.75 vs
 # 6.24 Mrays/s) and probe r3g confirmed e2e +6% (3.19 vs 3.00 Mrays/s,
 # same-session A/B, images bit-identical). Smaller retirement groups let
@@ -343,12 +354,19 @@ def packet_backend(
                 accel, o, d, RAY_TMIN, t_max, **WORKLIST_CLOSEST_KW
             )
 
-        def occlude(o, d, t_max):
-            # Shadow waves arrive light-major (direct_lighting): consecutive
-            # lanes share a light and neighbor pixels — already coherent.
-            # Measured on v5e: sort=False is 1.4x faster on these waves.
-            return worklist.any_hit_worklist(accel, o, d, RAY_TMIN, t_max,
-                                             **WORKLIST_OCCLUDE_KW)
+        if WORKLIST_OCCLUDE_ENGINE == "packets_exact":
+            def occlude(o, d, t_max):
+                return traverse.any_hit_packets(
+                    accel, o, d, RAY_TMIN, t_max,
+                    **WORKLIST_OCCLUDE_PACKETS_KW)
+        else:
+            def occlude(o, d, t_max):
+                # Shadow waves arrive light-major (direct_lighting):
+                # consecutive lanes share a light and neighbor pixels —
+                # already coherent. Measured on v5e: sort=False is 1.4x
+                # faster on these waves.
+                return worklist.any_hit_worklist(
+                    accel, o, d, RAY_TMIN, t_max, **WORKLIST_OCCLUDE_KW)
 
         return closest, occlude
 

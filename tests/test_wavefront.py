@@ -68,6 +68,26 @@ def test_nosort_bounce0_bit_identical(room_scene):
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(img))
 
 
+def test_worklist_occlude_packets_exact_bit_identical(room_scene):
+    """WORKLIST_OCCLUDE_ENGINE="packets_exact" routes the worklist
+    backend's shadow waves through the 2-level exact-cull packet cascade
+    (the big-scene candidate adjudicated in round-5 session D). Occlusion
+    is exact under either route, so images must be bit-identical."""
+    ref = wavefront.render(room_scene, default_camera(), SETTINGS,
+                           wave_size=1 << 12, block_size=64,
+                           backend="worklist")
+    wavefront.WORKLIST_OCCLUDE_ENGINE = "packets_exact"
+    wavefront.clear_executable_caches()
+    try:
+        img = wavefront.render(room_scene, default_camera(), SETTINGS,
+                               wave_size=1 << 12, block_size=64,
+                               backend="worklist")
+    finally:
+        wavefront.WORKLIST_OCCLUDE_ENGINE = "worklist"
+        wavefront.clear_executable_caches()
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(img))
+
+
 def test_backend_equivalence(room_scene):
     """Every traversal backend is exact, so same-seed images must be
     bit-identical across backends (identical RNG streams and shading; the
