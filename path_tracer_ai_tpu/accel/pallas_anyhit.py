@@ -26,9 +26,14 @@ and replaces the sweep body with ONE `pallas_call` per iteration:
 
 Consuming 8 candidates per while-iteration coarsens the early-out from
 the XLA path's group_size=2 (probe F: g2 beat g8 by ~8% wave-level);
-the kernel must win more than that back. Opt-in until the on-chip A/B
-lands (the round-1 Pallas lesson: production only after it beats XLA
-on wall-clock).
+the kernel must win more than that back. ADJUDICATED — it does not, at
+either measured scale: 82k tris 4.71 vs 7.17 Mrays/s wave-level
+(round 4) and 1.31M tris 619.5 vs 278.5 ms on a 2^16 shadow wave
+(round-5 session D, occlusion-equality gated). Permanently opt-in;
+retained as the scalar-prefetch DMA-cascade exemplar and the measured
+record of why single-kernel fusion loses to XLA's pipelined cascade on
+v5e (the round-1 Pallas lesson: production only after it beats XLA on
+wall-clock).
 
 Reference role: shadow `optixTrace` with TERMINATE_ON_FIRST_HIT
 (/root/reference/src/gpu/ptx/optix_kernels.cu:159-181).

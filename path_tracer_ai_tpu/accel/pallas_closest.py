@@ -28,9 +28,14 @@ scheduling exists at all:
 
 Results are exact (same guarantees as every other backend: compared
 against brute force in tests) with the oracle's lexicographic (t, tri)
-tie rule. Opt-in until the on-chip A/B lands (probe J closest_cascade
-rows) — the round-1 Pallas lesson: production only after it beats the
-incumbent on wall-clock.
+tie rule. ADJUDICATED round 4 on-chip (probe J closest_cascade rows):
+1.12 vs 2.70 Mrays/s wave-level against the production tile sweep —
+the in-kernel per-lane gating it exists for is exactly the
+work-elimination shape the round-4 campaign measured losing to dense
+predictable MT on this part, and round-5 session D closed the same
+question at 1.31M tris for the any-hit twin. Permanently opt-in;
+retained as the measured record (the round-1 Pallas lesson: production
+only after it beats the incumbent on wall-clock).
 
 Reference role: hardware `optixTrace` closest-hit traversal
 (/root/reference/src/gpu/ptx/optix_kernels.cu:101-114) and BVH descent
