@@ -8,10 +8,11 @@ the pairs-retune + e2e panel (pair_split rejection), and the kernel
 ladder attribution.
 """
 import json
+import os
 import sys
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/session_r5c.out"
-P = "/root/repo/results/results_r5.json"
+P = os.environ.get("PT_RESULTS_PATH", "/root/repo/results/results_r5.json")
 
 rows = []
 with open(OUT) as f:
@@ -31,8 +32,11 @@ def by(probe):
 with open(P) as f:
     res = json.load(f)
 
-stage = {r["upto"]: r["delta_ms"] for r in by("closest_stage_r5")
-         if "delta_ms" in r}
+# The delta at upto="sweep" is the fused sweep+resolve stage; the delta
+# at upto="full" is the outro unsort (everything after the fallback).
+_LBL = {"sweep": "sweep+resolve", "full": "unsort"}
+stage = {_LBL.get(r["upto"], r["upto"]): r["delta_ms"]
+         for r in by("closest_stage_r5") if "delta_ms" in r}
 if stage:
     res["closest_stage_split_r5"] = dict(
         config="2^20 wave, adopted fbsorted_fc12 config, S=256 accel",

@@ -491,6 +491,49 @@ def write_results_md(results, results_md):
                   f"**Big scene ({rr.get('tris', '?')} tris, "
                   f"{rr.get('clusters', '?')} clusters):** "
                   f"{rr.get('summary', json.dumps(rr))}"]
+        steps = ", ".join(f"2^{e['wave_log2']}: {e['mrays']}"
+                          for e in rr.get("e2e", [])
+                          if e.get("status") == "ok")
+        if steps:
+            lines[-1] += f" Wave escalation (Mrays/s): {steps}."
+        blk = rr.get("wave_2_20_blocker")
+        if blk:
+            lines[-1] += (f" Wave 2^20 blocker: {blk['status']} — "
+                          f"`{blk['error']}`.")
+    adjudications = [
+        ("closest_stage_split_r5", "Closest-wave stage split",
+         lambda rr: f"{rr['config']}: " + " | ".join(
+             f"{k} {v}ms" for k, v in rr["delta_ms"].items())
+         + f" (total {rr['total_ms']}ms). {rr.get('note', '')}"),
+        ("shadow_stage_split_r5", "Shadow-wave stage split",
+         lambda rr: f"{rr['config']}: " + " | ".join(
+             f"{k} {v}ms" for k, v in rr["ms"].items())
+         + f". {rr.get('note', '')}"),
+        ("kernel_ladder_r5", "Kernel-throughput ladder",
+         lambda rr: f"{rr['config']}: " + " | ".join(
+             f"{k} {v['ms']}ms ({v['gtests_per_s']} Gtests/s)"
+             for k, v in rr["variants"].items())
+         + f". {rr.get('note', '')}"),
+        ("pairs_retune_e2e_r5", "Pairs-stage retune (e2e)",
+         lambda rr: f"{rr['spec']}: " + ", ".join(
+             f"{k} {v}" for k, v in rr["mrays"].items())
+         + f" Mrays/s — {rr['verdict']}"),
+        ("group_e2e_r5", "DMA GROUP retune (e2e)",
+         lambda rr: f"{rr['spec']}: " + ", ".join(
+             f"{k} {v['mrays']}" for k, v in rr["mrays"].items())
+         + f" Mrays/s — {rr['verdict']}"),
+        ("bigshadow_exact_adjudication_r5", "Big-scene exact-cull shadow",
+         lambda rr: f"{rr['config']}: {rr['verdict']}"),
+    ]
+    adj_lines = []
+    for key, label, fmt in adjudications:
+        if key in results:
+            try:
+                adj_lines.append(f"- **{label}** — {fmt(results[key])}")
+            except (KeyError, TypeError):
+                adj_lines.append(f"- **{label}** — see JSON `{key}`")
+    if adj_lines:
+        lines += ["", "## Round-5 on-chip adjudications", ""] + adj_lines
     with open(results_md, "w") as f:
         f.write("\n".join(lines) + "\n")
 
