@@ -495,7 +495,7 @@ def write_results_md(results, results_md):
                           for e in rr.get("e2e", [])
                           if e.get("status") == "ok")
         if steps:
-            lines[-1] += f" Wave escalation (Mrays/s): {steps}."
+            lines[-1] += f". Wave escalation (Mrays/s): {steps}."
         blk = rr.get("wave_2_20_blocker")
         if blk:
             lines[-1] += (f" Wave 2^20 blocker: {blk['status']} — "
