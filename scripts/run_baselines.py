@@ -297,12 +297,17 @@ def main():
         lineage = results.get("4k", {}).get("lineage", [])
         spp_done = int(results.get("4k", {}).get("spp_cumulative", 0))
         inc = max(1, int(args.spp_increment * args.scale))
-        # The increment renders in ~32-spp chunks, each recorded to the
+        # The increment renders in 16-spp chunks, each recorded to the
         # results artifact as it lands: a wrap-up request or an
-        # interruption costs at most one chunk (~20 min at r3 rates), not
-        # the whole increment. Accumulation is identical either way (the
-        # checkpoint lineage carries the exact next-sample cursor).
-        chunk_spp = 32 if args.scale >= 1.0 else inc
+        # interruption costs at most one chunk, not the whole increment.
+        # 16 (not 32) bounds the stop-file yield latency to ~13 min at
+        # measured 4K rates — inside the driver-bench supervisor's
+        # ~25-min wait (BENCH_r04 rc=124 was a session waiting it out).
+        # The per-pass checkpoint (checkpoint_every=1) already pays the
+        # D2H either way, so smaller chunks only add artifact writes.
+        # Accumulation is identical either way (the checkpoint lineage
+        # carries the exact next-sample cursor).
+        chunk_spp = 16 if args.scale >= 1.0 else inc
         target = spp_done + inc
         while spp_done < target:
             if wrapup() and spp_done > 0:
